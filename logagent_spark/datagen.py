@@ -1,0 +1,128 @@
+"""Deterministic synthetic Common-Crawl-style `pages` table (FIXTURES.md F1).
+
+Columns per BASELINE.json input_hint:
+  (url:string, warc_ts:timestamp, html:binary, text:string, lang:string)
+
+Properties engineered for the test/bench matrix:
+  * hosts drawn Zipf-skewed from `n_hosts` domains — host-domain skew is
+    real, so salted repartition is testable (SURVEY.md M8);
+  * `text` is a log-line-shaped payload `TS - LEVEL - body` recoverable
+    byte-identically by the WAF regex of the reference's bench line
+    (apps/agent/parser_test.go:57-64); a fraction of rows are prose that
+    does NOT match (exercises the no-match pass-through), and a fraction
+    are JSON lines (for jsonify fixtures), some of them corrupt
+    (exercises drop+count);
+  * `lang` includes values missing from the lookup dim (lookup_miss path).
+
+Everything is numpy-seeded; same seed + n => byte-identical table.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+
+WAF_REGEX = r"^(?P<ts>.*?) - (?P<levelname>.*?) - (?P<body>.*?)$"
+LEVELS = ["INFO", "ERROR", "WARN", "DEBUG"]
+LANGS = ["en", "zh", "de", "fr", "es", "ru", "ja", "xx", "yy"]
+# lookup dim deliberately misses "xx" / "yy" (FIXTURES.md F3)
+LOOKUP_ROWS = [
+    {"lang": "en", "lang_name": "English", "geo": "US", "source": "cc-main"},
+    {"lang": "zh", "lang_name": "Chinese", "geo": "CN", "source": "cc-main"},
+    {"lang": "de", "lang_name": "German", "geo": "DE", "source": "cc-news"},
+    {"lang": "fr", "lang_name": "French", "geo": "FR", "source": "cc-news"},
+    {"lang": "es", "lang_name": "Spanish", "geo": "MX", "source": "cc-main"},
+    {"lang": "ru", "lang_name": "Russian", "geo": "RU", "source": "cc-extra"},
+    {"lang": "ja", "lang_name": "Japanese", "geo": "JP", "source": "cc-extra"},
+]
+
+_WORDS = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu "
+    "xi omicron pi rho sigma tau upsilon phi chi psi omega request response "
+    "cache miss hit upstream worker queue shard replica"
+).split()
+
+
+def gen_pages(n: int, seed: int = 42, n_hosts: int = 1000) -> pd.DataFrame:
+    rng = np.random.RandomState(seed)
+    # Zipf-skewed host ids clipped to the host universe
+    hosts = np.minimum(rng.zipf(1.3, n) - 1, n_hosts - 1)
+    base = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+    offsets = np.sort(rng.randint(0, 86_400, n))
+
+    kinds = rng.choice(["waf", "prose", "json", "badjson"], n,
+                       p=[0.70, 0.15, 0.10, 0.05])
+    levels = rng.choice(LEVELS, n, p=[0.5, 0.2, 0.2, 0.1])
+    langs = rng.choice(
+        LANGS, n, p=[0.35, 0.2, 0.1, 0.1, 0.1, 0.05, 0.05, 0.03, 0.02]
+    )
+    word_idx = rng.randint(0, len(_WORDS), (n, 6))
+    ks = rng.randint(0, 100, n)
+
+    urls, texts, tss, htmls = [], [], [], []
+    for i in range(n):
+        host = f"host{hosts[i]:04d}.example.org"
+        urls.append(f"https://{host}/p/{i}")
+        ts = base + dt.timedelta(seconds=int(offsets[i]))
+        tss.append(ts)
+        body = " ".join(_WORDS[j] for j in word_idx[i])
+        kind = kinds[i]
+        if kind == "waf":
+            ts_str = ts.strftime("%Y-%m-%d %H:%M:%S") + f",{int(ks[i]) * 7 % 1000:03d}"
+            text = f"{ts_str} - {levels[i]} - {body}"
+        elif kind == "prose":
+            text = body.capitalize() + "."
+        elif kind == "json":
+            text = (
+                f'{{"level":"{levels[i]}","k":{int(ks[i])},"body":"{body}"}}'
+            )
+        else:  # corrupt JSON
+            text = f'{{"level":"{levels[i]}","k":{int(ks[i])}'  # truncated
+        texts.append(text)
+        htmls.append(f"<html><body>{text}</body></html>".encode())
+
+    return pd.DataFrame(
+        {
+            "url": urls,
+            "warc_ts": tss,
+            "html": htmls,
+            "text": texts,
+            "lang": langs,
+        }
+    )
+
+
+def lookup_df(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("lang", T.StringType()),
+        T.StructField("lang_name", T.StringType()),
+        T.StructField("geo", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ])
+    return spark.createDataFrame(LOOKUP_ROWS, schema=schema)
+
+
+def pages_df(spark, n: int, seed: int = 42, n_hosts: int = 1000):
+    from pyspark.sql import types as T
+
+    pdf = gen_pages(n, seed=seed, n_hosts=n_hosts)
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ])
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+def write_pages(spark, path: str, n: int, seed: int = 42,
+                n_hosts: int = 1000, partitions: int = 8) -> str:
+    pages_df(spark, n, seed=seed, n_hosts=n_hosts).repartition(
+        partitions
+    ).write.mode("overwrite").parquet(path)
+    return path

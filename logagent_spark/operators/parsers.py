@@ -1,0 +1,173 @@
+"""Parser compilers — csv / regex / jsonify over the `message` column.
+
+Reproduces /root/reference/agent/task/task.go:201-254:
+
+* ``csv``   — ``strings.SplitN(message, delim, len(columns))``: the last
+  column keeps remaining delimiters; fewer parts than columns leaves the
+  trailing columns absent (NULL). Compiled to a single ``split`` +
+  ``F.get`` projections (ANSI-safe, null on short rows).
+* ``regex`` — named-group extraction with unanchored search; NO match
+  leaves the row intact with all group columns absent (NULL); a matched
+  row yields "" for non-participating groups (Go FindStringSubmatch).
+  Two physical strategies:
+    - native: per-group ``regexp_extract`` guarded by one ``rlike``
+      (whole-stage codegen; the regex literally runs k+1 times but stays
+      JVM-side — best for few groups);
+    - grok: ONE vectorized pandas UDF evaluating a precompiled pattern per
+      Arrow batch via ``Series.str.extract`` returning a struct (the
+      BASELINE north-star path; best for dictionary-sized group sets).
+* ``jsonify`` — ``json.Unmarshal`` merged into the row. Schema-first:
+  the spec declares columns+types; compiled to one ``from_json`` +
+  flatten. A corrupt document is a parse error => row dropped from all
+  sinks and counted (task.go:104-111). Go yields float64 for all JSON
+  numbers — declare ``double`` for Go-parity (`number` validators then
+  fail, matching validator.go:69-83).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from logagent_spark.config import ParserSpec
+from logagent_spark.functions import (
+    escaped_split,
+    go_regex_groups,
+    is_string,
+    to_java_regex,
+    type_by_name,
+)
+
+Schema = dict[str, T.DataType]
+
+
+@dataclass
+class CompiledParser:
+    """Projections to apply (in order), an optional parse-error reason
+    Column, and the schema updates the parser introduces."""
+
+    columns: list[tuple[str, Column]] = field(default_factory=list)
+    error: Column | None = None
+    schema_updates: dict[str, T.DataType] = field(default_factory=dict)
+
+
+def compile_parser(
+    spec: ParserSpec, schema: Schema, *, regex_strategy: str = "native"
+) -> CompiledParser:
+    if not spec.mode:
+        return CompiledParser()
+    if "message" not in schema or not is_string(schema["message"]):
+        # non-string message: every parser is a no-op (task.go:216, 231, 249)
+        return CompiledParser()
+    msg = F.col("message")
+
+    if spec.mode == "csv":
+        delim = spec.delimiters or ","
+        n = len(spec.columns)
+        parts = escaped_split(msg, delim, n)
+        cols = [(name, F.get(parts, i)) for i, name in enumerate(spec.columns)]
+        return CompiledParser(
+            columns=cols,
+            schema_updates={name: T.StringType() for name in spec.columns},
+        )
+
+    if spec.mode == "regex":
+        groups = go_regex_groups(spec.regex)  # name -> idx (validates syntax)
+        if regex_strategy == "grok":
+            return _compile_grok(spec.regex, groups)
+        jpat = to_java_regex(spec.regex)
+        matched = msg.rlike(jpat)
+        cols = [
+            (name, F.when(matched, F.regexp_extract(msg, jpat, idx)))
+            for name, idx in groups.items()
+        ]
+        return CompiledParser(
+            columns=cols,
+            schema_updates={name: T.StringType() for name in groups},
+        )
+
+    if spec.mode == "jsonify":
+        corrupt = "_corrupt"
+        struct_type = T.StructType(
+            [
+                T.StructField(c, type_by_name(spec.types.get(c, "string")), True)
+                for c in spec.columns
+            ]
+            + [T.StructField(corrupt, T.StringType(), True)]
+        )
+        parsed = F.from_json(
+            msg, struct_type, {"columnNameOfCorruptRecord": corrupt}
+        )
+        # malformed OR non-object input populates the corrupt-record field
+        # (Go: Unmarshal of a non-object into map[string]interface{} errors);
+        # NULL message passes through untouched (no parse attempt).
+        err = F.when(
+            parsed.getField(corrupt).isNotNull(), F.lit("parse_error:jsonify")
+        )
+        tmp = "_jsonify_parsed"
+        cols: list[tuple[str, Column]] = [(tmp, parsed)]
+        for c in spec.columns:
+            new = F.col(tmp).getField(c)
+            if c in schema:
+                # Unmarshal merges: a key absent from the document keeps the
+                # pre-existing value. (JSON-null and absent both map to NULL
+                # here — documented divergence, SURVEY.md §2.2.)
+                old_dt, new_dt = schema[c], struct_type[c].dataType
+                if old_dt == new_dt:
+                    new = F.coalesce(new, F.col(c))
+            cols.append((c, new))
+        cols.append((tmp, None))  # sentinel: drop the temp struct
+        return CompiledParser(
+            columns=cols,
+            error=err,
+            schema_updates={
+                f.name: f.dataType
+                for f in struct_type.fields
+                if f.name != corrupt
+            },
+        )
+
+    raise ValueError(f"unsupported parser mode `{spec.mode}`")
+
+
+# ---------------------------------------------------------------------------
+# grok path: one Arrow-vectorized pandas UDF per pattern
+
+def _compile_grok(pattern: str, groups: dict[str, int]) -> CompiledParser:
+    names = list(groups)
+    out_type = T.StructType(
+        [T.StructField(n, T.StringType(), True) for n in names]
+    )
+    # Precompile once per executor: the pattern is captured in the closure
+    # and compiled at UDF-definition time, not per batch (SURVEY.md §4).
+    cre = re.compile(pattern)
+
+    @F.pandas_udf(out_type)
+    def grok_extract(s: pd.Series) -> pd.DataFrame:
+        # Series.str.extract = re.search per row, vectorized in C where
+        # possible; expand=True yields one column per group.
+        ext = s.str.extract(cre, expand=True)
+        ext.columns = [str(c) for c in ext.columns]
+        matched = s.str.contains(cre, regex=True, na=False)
+        df = pd.DataFrame(index=s.index)
+        for n, idx in groups.items():
+            col = ext[n] if n in ext.columns else ext[str(idx - 1)]
+            # Go parity: in a matched row a non-participating group is "";
+            # in an unmatched/null row every group stays NULL.
+            df[n] = col.where(~matched, col.fillna(""))
+        return df
+
+    tmp = "_grok_parsed"
+    cols: list[tuple[str, Column]] = [(tmp, grok_extract(F.col("message")))]
+    for n in names:
+        cols.append((n, F.col(tmp).getField(n)))
+    cols.append((tmp, None))
+    return CompiledParser(
+        columns=cols,
+        schema_updates={n: T.StringType() for n in names},
+    )

@@ -1,0 +1,104 @@
+"""Validator compiler — spec predicates -> boolean Columns.
+
+Reproduces /root/reference/agent/task/validator.go:11-196 semantics against
+a static schema:
+
+* missing column (NULL) fails every validator;
+* type-mismatch fails (Go's `.(string)` / `.(int)` assertion miss) — with a
+  static schema this is decidable at compile time, so mismatched validators
+  compile to `lit(False)` (Catalyst folds the filter to an empty relation —
+  the fastest possible evaluation of an always-failing gate);
+* `number/maxvalue/minvalue` compare Go `int` — a double-typed column can
+  never pass (JSON numbers are float64 in Go, validator.go:69-83);
+* `maxlength/minlength` measure Go `len()` = BYTES, hence octet_length;
+* `regex` is an unanchored search (`MatchString` ≡ rlike).
+
+Two attachment points with different routing semantics (SURVEY.md §2.4):
+global validators drop the row from all sinks (with a dead-letter reason);
+per-handler validators silently skip the row for that sink only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from logagent_spark.config import ValidatorSpec
+from logagent_spark.functions import fail_reason, is_double, is_long, is_string
+
+Schema = dict[str, T.DataType]
+
+_KIND_CHECK = {
+    "string": is_string,
+    "int": is_long,
+    "float": is_double,
+}
+
+
+def compile_validator(spec: ValidatorSpec, schema: Schema) -> Column:
+    """Return a boolean Column: True = row passes this validator.
+
+    NULL results count as failure — callers must wrap with
+    ``F.coalesce(pred, F.lit(False))`` or rely on filter(null)=drop.
+    """
+    col_name, mode = spec.column, spec.mode
+    dt = schema.get(col_name)
+    if dt is None:
+        # column can never exist => every row fails (validator.go:16-18)
+        return F.lit(False)
+    c = F.col(col_name)
+
+    if mode == "required":
+        return c.isNotNull()
+    if mode == "type":
+        if _KIND_CHECK[spec.type](dt):
+            return c.isNotNull()
+        return F.lit(False)
+    if mode == "value":
+        if not is_string(dt):
+            return F.lit(False)
+        return c == F.lit(spec.value)
+    if mode in ("number", "maxvalue", "minvalue"):
+        if not is_long(dt):
+            # float64 / string / etc. never satisfies Go's `.(int)`
+            return F.lit(False)
+        n = F.lit(spec.number)
+        if mode == "number":
+            return c == n
+        if mode == "maxvalue":
+            return c <= n
+        return c >= n
+    if mode in ("maxlength", "minlength"):
+        if not is_string(dt):
+            return F.lit(False)
+        ln = F.octet_length(c)  # Go len() counts bytes, not runes
+        return ln <= F.lit(spec.number) if mode == "maxlength" else ln >= F.lit(spec.number)
+    if mode == "regex":
+        if not is_string(dt):
+            return F.lit(False)
+        from logagent_spark.functions import to_java_regex
+
+        return c.rlike(to_java_regex(spec.regex))
+    raise ValueError(f"unsupported validation mode `{mode}`")
+
+
+def compile_gate(specs: list[ValidatorSpec], schema: Schema) -> Column:
+    """AND of all validators, null-safe (per-handler gate,
+    handler.go:208-215). True = row reaches the sink."""
+    pred = F.lit(True)
+    for s in specs:
+        pred = pred & F.coalesce(compile_validator(s, schema), F.lit(False))
+    return pred
+
+
+def compile_global_reasons(specs: list[ValidatorSpec], schema: Schema) -> list[Column]:
+    """Ordered drop-reason Columns for global validators
+    (validator.go:206-233: first failure wins)."""
+    return [
+        fail_reason(
+            compile_validator(s, schema),
+            f"validator:{s.mode}:{s.column}",
+        )
+        for s in specs
+    ]

@@ -1,0 +1,131 @@
+"""Parser parity vs the oracle: csv SplitN edges, regex match/no-match
+(native AND grok strategies), jsonify corrupt-row drop semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from logagent_spark import oracle
+from logagent_spark.config import ParserSpec, PipelineSpec
+from logagent_spark.plans.pipeline import DROP_COL, CompiledPipeline
+
+
+def _msg_df(spark, messages):
+    return spark.createDataFrame(
+        [(i, m) for i, m in enumerate(messages)],
+        schema=T.StructType([
+            T.StructField("id", T.LongType(), False),
+            T.StructField("message", T.StringType(), True),
+        ]),
+    )
+
+
+def _run(spark, parser: ParserSpec, messages, regex_strategy="native"):
+    spec = PipelineSpec(parser=parser)
+    pipe = CompiledPipeline(spec, regex_strategy=regex_strategy)
+    res = pipe.transform(_msg_df(spark, messages))
+    rows = {r["id"]: r.asDict() for r in res.frame.collect()}
+    return [rows[i] for i in range(len(messages))]
+
+
+def _oracle(parser: ParserSpec, messages):
+    out = []
+    for i, m in enumerate(messages):
+        msg = {"id": i}
+        if m is not None:
+            msg["message"] = m
+        reason = None
+        try:
+            oracle.parse_row(parser, msg)
+        except oracle.RowError as e:
+            reason = e.reason
+        msg["_reason"] = reason
+        out.append(msg)
+    return out
+
+
+CSV_MESSAGES = [
+    "a,b,c",
+    "a,b,c,d,e",          # last column keeps remaining delimiters
+    "a",                  # fewer parts -> trailing columns NULL
+    "",                   # SplitN("",...) == [""]
+    ",,",
+    "x,,z",
+    None,
+]
+
+
+def test_csv_splitn_semantics(spark):
+    parser = ParserSpec(mode="csv", delimiters=",", columns=["c1", "c2", "c3"])
+    got = _run(spark, parser, CSV_MESSAGES)
+    want = _oracle(parser, CSV_MESSAGES)
+    for g, w in zip(got, want):
+        for c in ("c1", "c2", "c3"):
+            assert g.get(c) == w.get(c), (g, w)
+
+
+def test_csv_regex_metachar_delimiter(spark):
+    # literal delimiter that is a regex metachar must be escaped
+    parser = ParserSpec(mode="csv", delimiters="|", columns=["a", "b"])
+    got = _run(spark, parser, ["x|y|z", "no-delim"])
+    assert got[0]["a"] == "x" and got[0]["b"] == "y|z"
+    assert got[1]["a"] == "no-delim" and got[1]["b"] is None
+
+
+WAF_REGEX = r"^(?P<ts>.*?) - (?P<levelname>.*?) - (?P<body>.*?)$"
+REGEX_MESSAGES = [
+    "2020-08-19 22:11:59,515 - ERROR - No matched file: /waf/system_service",
+    "no separator here",              # no match -> columns stay NULL
+    " - - ",                          # empty groups -> ""
+    "a - b - c - d",                  # non-greedy split
+    None,
+]
+
+
+@pytest.mark.parametrize("strategy", ["native", "grok"])
+def test_regex_parser_parity(spark, strategy):
+    parser = ParserSpec(mode="regex", regex=WAF_REGEX)
+    got = _run(spark, parser, REGEX_MESSAGES, regex_strategy=strategy)
+    want = _oracle(parser, REGEX_MESSAGES)
+    for g, w in zip(got, want):
+        for c in ("ts", "levelname", "body"):
+            assert g.get(c) == w.get(c), (strategy, g, w)
+
+
+@pytest.mark.parametrize("strategy", ["native", "grok"])
+def test_regex_optional_group(spark, strategy):
+    # participating-vs-missing group semantics
+    pat = r"^(?P<a>x)(?P<b>y)?$"
+    msgs = ["xy", "x", "zzz", None]
+    parser = ParserSpec(mode="regex", regex=pat)
+    got = _run(spark, parser, msgs, regex_strategy=strategy)
+    want = _oracle(parser, msgs)
+    for g, w in zip(got, want):
+        assert g.get("a") == w.get("a"), (strategy, g, w)
+        assert g.get("b") == w.get("b"), (strategy, g, w)
+
+
+JSON_MESSAGES = [
+    '{"level":"ERROR","k":87,"body":"hi"}',
+    '{"level":"INFO"}',                      # absent keys -> NULL
+    '{"level":"INFO","k":1.5,"body":""}',
+    "{broken",                               # corrupt -> dropped + counted
+    "[1,2,3]",                               # non-object -> dropped (Go parity)
+    None,                                    # null message passes through
+]
+
+
+def test_jsonify_parse_and_drop(spark):
+    parser = ParserSpec(
+        mode="jsonify",
+        columns=["level", "k", "body"],
+        types={"level": "string", "k": "double", "body": "string"},
+    )
+    got = _run(spark, parser, JSON_MESSAGES)
+    want = _oracle(parser, JSON_MESSAGES)
+    for g, w in zip(got, want):
+        assert g[DROP_COL] == w["_reason"], (g, w)
+        if w["_reason"] is None:
+            for c in ("level", "k", "body"):
+                assert g.get(c) == w.get(c), (g, w)
