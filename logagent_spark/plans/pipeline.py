@@ -56,6 +56,7 @@ Schema = dict[str, T.DataType]
 DROP_COL = "_drop_reason"
 SINK_COL = "sink"
 RENDERED_COL = "rendered"
+DEAD_SINK = "_dead_letter"
 
 
 @dataclass
@@ -225,6 +226,45 @@ class CompiledPipeline:
             )
         )
         return out
+
+    def multiplexed(
+        self, result: TransformResult, keep: list[str] | None = None
+    ) -> DataFrame:
+        """routed ∪ dead-letter in ONE frame: dropped rows appear under the
+        reserved sink ``_dead_letter`` with their drop reason in
+        ``rendered``. One write action then persists sinks AND the error
+        log (the reference logs failed rows, task.go:104-111), and one
+        ``observe`` on this frame yields every counter without a second
+        scan."""
+        routed = self.routed(result, keep)
+        cols = keep if keep is not None else list(result.schema)
+        dead = result.frame.filter(F.col(DROP_COL).isNotNull()).select(
+            F.lit(DEAD_SINK).alias(SINK_COL),
+            F.col(DROP_COL).alias(RENDERED_COL),
+            *cols,
+        )
+        return routed.unionByName(dead)
+
+    def sink_names(self) -> list[str]:
+        return [h.sink_name(i) for i, h in enumerate(self.spec.handlers)]
+
+    def known_reasons(self) -> list[str]:
+        """Every drop reason this spec can emit, in operator order —
+        enumerable at compile time, so per-reason counters can be computed
+        inside a single `observe` pass."""
+        reasons: list[str] = []
+        if self.spec.parser.mode == "jsonify":
+            reasons.append("parse_error:jsonify")
+        for v in self.spec.validators:
+            reasons.append(f"validator:{v.mode}:{v.column}")
+        for rw in self.spec.rewrites:
+            if rw.mode == "mapping":
+                reasons.append(f"mapping_miss:{rw.column}")
+            elif rw.mode == "jsonify":
+                reasons.append(f"parse_error:jsonify_rewrite:{rw.column}")
+            elif rw.mode == "lookup" and rw.lookup.get("on_miss", "drop") == "drop":
+                reasons.append(f"lookup_miss:{rw.lookup['key']}")
+        return reasons
 
     def dead_letter(self, result: TransformResult) -> DataFrame:
         """Rows dropped by parse errors / global validators / mapping
