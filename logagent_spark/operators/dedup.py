@@ -1,0 +1,360 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding near-dup.
+
+Scale design (the whole point — 10^12 docs):
+
+  * exact dedup: hash-groupBy on a 128-bit content hash. The shuffle key
+    is the hash (uniform by construction — no skew), and only (hash, id)
+    pairs shuffle, never the documents;
+  * MinHash+LSH: signatures are computed scan-side as pure Column
+    expressions (array_min over xxhash64 of shingles — JVM, no UDF);
+    banding explodes to (band, band_hash) keys and groupBys — candidate
+    generation is ONE shuffle of b rows/doc of ~24 bytes each. Exact
+    Jaccard verification runs only on candidate pairs (tiny);
+  * SimHash: one vectorized pandas UDF (numpy bit-twiddling per Arrow
+    batch) because 64 per-bit conditional sums as Columns would bloat
+    codegen; near-dup pairs via banded key join on 16-bit chunks
+    (Hamming<=3 => at least one of 4 chunks equal — pigeonhole);
+  * embedding near-dup: random-hyperplane LSH with seeded literal
+    hyperplanes — sign-bit bucket as a Column expression, cosine check
+    within buckets only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from logagent_spark.operators.textstats import shingles, tokens
+
+# ---------------------------------------------------------------------------
+# exact
+
+def content_hash(col: Column, normalize: bool = True) -> Column:
+    c = (
+        F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+        if normalize
+        else col
+    )
+    return F.md5(c)
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str, normalize: bool = True
+) -> DataFrame:
+    """-> (hash, n_dups, doc_ids) for every duplicated content hash."""
+    h = content_hash(F.col(text_col), normalize).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str, text_col: str, normalize: bool = True
+) -> DataFrame:
+    """Keep the smallest id per content hash (deterministic winner).
+    Implemented as min-by aggregation — one shuffle on the uniform hash,
+    never a window sort over the full corpus."""
+    h = content_hash(F.col(text_col), normalize).alias("content_hash")
+    winners = (
+        df.select(h, F.col(id_col).alias("_id"))
+        .groupBy("content_hash")
+        .agg(F.min("_id").alias(id_col))
+        .drop("content_hash")
+    )
+    return df.join(winners, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+def minhash_signature(
+    col: Column, num_hashes: int = 64, shingle_k: int = 5
+) -> Column:
+    """array<long> signature: element i = min over shingles of
+    xxhash64(shingle, seed_i). Pure Column expr — computed scan-side."""
+    sh = shingles(col, shingle_k)
+    return F.array(*[
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ])
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """LSH banding -> candidate near-duplicate pairs (a < b).
+
+    Shuffle cost: bands rows per doc of (band_id, band_hash, id) — the
+    banded hash is uniform, so no skew; the self-join never happens
+    (pairs are built by collecting ids per bucket, and buckets are tiny
+    by construction)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_k)
+    banded = df.select(F.col(id_col).alias("_id"), sig.alias("_sig")).select(
+        "_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *[
+                            F.col("_sig").getItem(b * rows_per_band + r)
+                            for r in range(rows_per_band)
+                        ]
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("_bb"),
+    ).select("_id", "_bb.band", "_bb.bucket")
+
+    buckets = banded.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list("_id")).alias("ids")
+    ).filter(F.size("ids") > 1)
+
+    # pairs within each bucket, deduped across bands
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").distinct()
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs -> (a, b, jaccard).
+    Joins shingle SETS only for candidates — the expensive comparison
+    runs on the (tiny) candidate set, not the corpus."""
+    sets_df = df.select(
+        F.col(id_col).alias("_jid"),
+        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("_set"),
+    )
+    a_sets = sets_df.withColumnRenamed("_jid", "a").withColumnRenamed("_set", "_sa")
+    b_sets = sets_df.withColumnRenamed("_jid", "b").withColumnRenamed("_set", "_sb")
+    joined = pairs.join(a_sets, "a").join(b_sets, "b")
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size(F.array_union("_sa", "_sb"))
+    return joined.select(
+        "a", "b",
+        F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Full pipeline: LSH candidates -> exact Jaccard -> thresholded
+    near-dup pairs (a, b, jaccard)."""
+    cands = minhash_candidates(
+        df, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+    )
+    return jaccard_pairs(df, cands, id_col, text_col, shingle_k).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+def simhash_udf(num_bits: int = 64):
+    """Vectorized SimHash: per Arrow batch, token hashes vote per bit.
+    Token hashing uses a stable FNV-1a in numpy (no Python hash()
+    randomization), so results are identical across executors/runs."""
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(s: pd.Series) -> pd.Series:
+        out = np.zeros(len(s), dtype=np.int64)
+        for i, text in enumerate(s):
+            if text is None:
+                continue
+            toks = text.lower().split()
+            if not toks:
+                continue
+            hs = np.array([_fnv1a64(t) for t in toks], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(num_bits, dtype=np.uint64)) & 1)
+            # signed arithmetic: uint64 would wrap when ones < half
+            votes = bits.sum(axis=0).astype(np.int64) * 2 - len(hs)
+            sig = np.uint64(0)
+            for b in range(num_bits):
+                if votes[b] > 0:
+                    sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig)
+        return pd.Series(out)
+
+    return _simhash
+
+
+def _fnv1a64(s: str) -> np.uint64:
+    # uint64 wrap-around is the algorithm (mod 2^64)
+    with np.errstate(over="ignore"):
+        h = np.uint64(0xCBF29CE484222325)
+        for byte in s.encode("utf-8"):
+            h = np.uint64(h ^ np.uint64(byte)) * np.uint64(0x100000001B3)
+    return h
+
+
+def with_simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+    return df.withColumn(out_col, simhash_udf()(F.col(text_col)))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: pigeonhole banding on 4×16-bit chunks
+    (hamming<=3 over 64 bits => at least one chunk identical), then exact
+    hamming check within buckets."""
+    sh = with_simhash(df, text_col).select(
+        F.col(id_col).alias("_id"), F.col("simhash")
+    )
+    chunks = sh.select(
+        "_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            )
+            for c in range(4)
+        ])).alias("_c"),
+    ).select("_id", "simhash", "_c.chunk", "_c.key")
+    buckets = chunks.groupBy("chunk", "key").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_id").alias("id"), F.col("simhash").alias("sh")))
+        ).alias("items")
+    ).filter(F.size("items") > 1)
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("items"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("items"), i + 2, F.size("items")),
+                        lambda b: F.struct(
+                            a["id"].alias("a"), b["id"].alias("b"),
+                            a["sh"].alias("sha"), b["sh"].alias("shb"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b", "p.sha", "p.shb").distinct()
+    hamming = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return pairs.select(
+        "a", "b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (cosine LSH)
+
+def hyperplane_bucket(
+    emb: Column, dim: int, n_planes: int = 16, seed: int = 42
+) -> Column:
+    """Random-hyperplane sign bucket as a pure Column expression: the
+    seeded hyperplanes are literals, the dot products are zip_with/
+    aggregate — scan-side, no UDF, no shuffle."""
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+    bits = []
+    for p in planes:
+        lit_vec = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(
+            F.zip_with(emb, lit_vec, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
+    bucket = F.lit(0)
+    for b in bits:
+        bucket = bucket * 2 + b
+    return bucket
+
+
+def cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                      lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0),
+                            lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0),
+                            lambda acc, x: acc + x))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    *,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup embedding pairs: bucket by hyperplane signs, exact cosine
+    within buckets. (Single-probe LSH: pairs straddling a hyperplane are
+    missed — the recall/cost tradeoff is the point of the scale path;
+    brute-force cosine in similarity.py is the exact baseline.)"""
+    b = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(emb_col).alias("_emb"),
+        hyperplane_bucket(F.col(emb_col), dim, n_planes, seed).alias("_bucket"),
+    )
+    buckets = b.groupBy("_bucket").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_id").alias("id"), F.col("_emb").alias("e")))
+        ).alias("items")
+    ).filter(F.size("items") > 1)
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("items"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("items"), i + 2, F.size("items")),
+                        lambda c: F.struct(
+                            a["id"].alias("a"), c["id"].alias("b"),
+                            a["e"].alias("ea"), c["e"].alias("eb"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b", cosine(F.col("p.ea"), F.col("p.eb")).alias("cos"))
+    return pairs.filter(F.col("cos") >= threshold)

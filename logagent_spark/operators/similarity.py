@@ -1,0 +1,113 @@
+"""Similarity search over embedding columns (array<float/double>).
+
+Two paths, per the scale doctrine:
+
+  * brute-force cosine top-k — the exact baseline: one narrow projection
+    computing the score scan-side (zip_with/aggregate, JVM) + a top-k.
+    Top-k uses a rank-free two-phase pattern: per-partition top-k
+    (mapPartitions-equivalent via repartition-less sort within
+    partitions is overkill here — Catalyst's TakeOrderedAndProject
+    already does partial top-k map-side for orderBy+limit, which is the
+    plan we want and get);
+  * IVF-style bucketed ANN — assign every vector to its nearest of C
+    seeded centroids (literal arrays, scan-side), search only the
+    query's probe buckets. C and nprobe trade recall for scan fraction;
+    at 10^12 rows the bucket assignment is written once at ingest and
+    the query prunes partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logagent_spark.operators.dedup import cosine
+
+
+def lit_vec(v) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def cosine_to_query(emb: Column, query: list[float]) -> Column:
+    return cosine(emb, lit_vec(query))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    emb_col: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine. orderBy+limit compiles to
+    TakeOrderedAndProject: each partition keeps only k rows, the driver
+    merges — no global sort, no shuffle of the corpus."""
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine_to_query(F.col(emb_col), query), 8).alias("cos"),
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# IVF-style bucketed ANN
+
+def seeded_centroids(dim: int, n_centroids: int, seed: int = 42) -> np.ndarray:
+    """Deterministic unit-norm centroids. (A production build would
+    k-means them on a sample; seeded random keeps tests deterministic
+    and the plumbing identical.)"""
+    rng = np.random.RandomState(seed)
+    c = rng.randn(n_centroids, dim)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def centroid_assignment(
+    emb: Column, centroids: np.ndarray
+) -> Column:
+    """argmax over centroid dot products, as a Column expression."""
+    dots = [
+        F.aggregate(
+            F.zip_with(emb, lit_vec(c), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in centroids
+    ]
+    best = F.greatest(*dots) if len(dots) > 1 else dots[0]
+    expr = F.lit(-1)
+    for i in reversed(range(len(dots))):
+        expr = F.when(dots[i] == best, F.lit(i)).otherwise(expr)
+    return expr
+
+
+def ivf_index(
+    df: DataFrame, emb_col: str, centroids: np.ndarray, bucket_col: str = "ivf_bucket"
+) -> DataFrame:
+    """Materialize the bucket assignment (at scale: write-partitioned by
+    this column so queries prune files)."""
+    return df.withColumn(
+        bucket_col, centroid_assignment(F.col(emb_col), centroids)
+    )
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    emb_col: str,
+    query: list[float],
+    centroids: np.ndarray,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    bucket_col: str = "ivf_bucket",
+) -> DataFrame:
+    """Search only the nprobe buckets nearest the query: the filter is a
+    partition-prunable predicate; the exact cosine runs on the pruned
+    fraction only."""
+    q = np.asarray(query, dtype=float)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    order = np.argsort(-(centroids @ qn))
+    probes = [int(i) for i in order[:nprobe]]
+    pruned = indexed.filter(F.col(bucket_col).isin(probes))
+    return brute_force_topk(pruned, emb_col, query, k=k, id_col=id_col)

@@ -1,0 +1,139 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond the reference's operator set (SURVEY.md §2.7): language-ID,
+quality scoring, token counting, document fingerprinting — the
+operations a web-scale corpus pipeline needs. All are pure Column
+expressions (JVM-side, whole-stage codegen); no Python in the hot path.
+
+Design notes for 100 TB:
+  * everything here is a narrow projection — no shuffle, no UDF;
+  * the expressions reference each text column once, so Tungsten
+    evaluates them in a single pass over the scan;
+  * fingerprints use md5/xxhash64 (distributed-deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword inventories for the n-gram/stopword
+# heuristic language-ID. Deliberately small + public-knowledge words.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "que", "dans"],
+    "es": ["el", "la", "los", "de", "y", "es", "no", "una", "por", "con"],
+}
+
+WORD_SPLIT = " "
+TOKEN_REGEX = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"  # BPE-ish: words + punct marks
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens (empty-string tokens from runs of spaces are
+    filtered, matching str.split() semantics)."""
+    return F.filter(F.split(col, " +"), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token estimate: alnum runs + individual punctuation
+    (the classic pre-tokenizer regex)."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_REGEX), 0))
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(
+        F.filter(tokens(F.lower(col)), lambda t: t.isin(*words))
+    )
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    n = token_count(col)
+    return F.when(n > 0, stopword_hits(col, lang) / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation bytes / total bytes."""
+    total = F.octet_length(col)
+    nonpunct = F.octet_length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return F.when(total > 0, (total - nonpunct) / total).otherwise(F.lit(0.0))
+
+
+def mean_word_len(col: Column) -> Column:
+    n = token_count(col)
+    chars = F.length(F.regexp_replace(col, " +", ""))
+    return F.when(n > 0, chars / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column, lang: str = "en") -> Column:
+    """Composite document-quality heuristic in [0,1]: length band,
+    low punctuation noise, healthy mean word length, stopword presence.
+    Weights are fixed, public-heuristic style (C4/Gopher-rule flavored)."""
+    n = token_count(col)
+    len_ok = F.when((n >= 10) & (n <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(col) < 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    mwl = mean_word_len(col)
+    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    sw = F.when(stopword_ratio(col, lang) > 0.0, F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_ok + punct_ok + mwl_ok + sw) / F.lit(4.0)
+
+
+def langid(col: Column, langs: list[str] | None = None) -> Column:
+    """Stopword-vote language-ID: the language with the most stopword
+    hits wins; ties broken by language order; zero hits -> 'und'."""
+    langs = langs or list(STOPWORDS)
+    scores = [stopword_hits(col, lg).alias(lg) for lg in langs]
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    expr = F.lit("und")
+    # reverse order so earlier langs win ties
+    for lg, sc in reversed(list(zip(langs, scores))):
+        expr = F.when((sc > 0) & (sc == best), F.lit(lg)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: Column) -> Column:
+    """Normalized-document fingerprint: md5 over lowercased,
+    whitespace-collapsed text (engine-portable: any ANSI SQL system
+    reproduces it)."""
+    norm = F.regexp_replace(F.lower(col), r"\s+", " ")
+    return F.md5(F.trim(norm))
+
+
+def shingles(col: Column, k: int = 5) -> Column:
+    """k-word shingles as an array<string> (basis for minhash / jaccard)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def min_shingle_fingerprint(col: Column, k: int = 5) -> Column:
+    """Rolling-hash-style fingerprint: minimum md5 over k-word shingles
+    (one stable representative per document; near-identical docs with a
+    small head/tail edit still collide)."""
+    return F.array_min(F.transform(shingles(col, k), F.md5))
+
+
+def with_text_stats(
+    df: DataFrame, text_col: str = "text", lang: str = "en"
+) -> DataFrame:
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_bpe_tokens"),
+        F.round(stopword_ratio(c, lang), 6).alias("stopword_ratio"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(quality_score(c, lang), 6).alias("quality"),
+        langid(c).alias("lang_pred"),
+        fingerprint(c).alias("fingerprint"),
+    )

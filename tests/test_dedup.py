@@ -1,0 +1,148 @@
+"""Dedup operators: exact, MinHash+LSH, SimHash, embedding near-dup —
+checked against brute-force python oracles on a corpus with planted
+duplicates."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from logagent_spark.operators import dedup
+
+BASE = [
+    "the quick brown fox jumps over the lazy dog near the river bank today",
+    "pack my box with five dozen liquor jugs before the evening train leaves",
+    "a completely different document about spark catalyst optimizer internals",
+    "log agents ship structured telemetry to downstream sinks for analysis",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    docs = []
+    i = 0
+    for b in BASE:
+        docs.append((i, b)); i += 1
+    # exact duplicates (and a whitespace/case variant of doc 0)
+    docs.append((i, BASE[0])); i += 1
+    docs.append((i, "  The QUICK  brown fox jumps over the lazy dog near the river bank today")); i += 1
+    # near duplicate of doc 1 (one word changed)
+    docs.append((i, BASE[1].replace("liquor", "water"))); i += 1
+    # near duplicate of doc 3 (word appended)
+    docs.append((i, BASE[3] + " quickly")); i += 1
+    return docs
+
+
+def _shingle_set(text, k=5):
+    toks = text.split()
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[j:j + k]) for j in range(len(toks) - k + 1)}
+
+
+def _jaccard(a, b, k=5):
+    sa, sb = _shingle_set(a, k), _shingle_set(b, k)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_duplicates_and_dedup(spark, corpus):
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    groups = dedup.exact_duplicates(df, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert sorted(groups[0]["doc_ids"]) == [0, 4, 5]  # normalization folds case/space
+
+    kept = sorted(r["doc_id"] for r in dedup.dedup_exact(df, "doc_id", "text").collect())
+    assert kept == [0, 1, 2, 3, 6, 7]  # smallest id survives per group
+
+
+def test_minhash_near_duplicates_vs_bruteforce(spark, corpus):
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.minhash_near_duplicates(
+            df, "doc_id", "text", threshold=0.3, shingle_k=5
+        ).collect()
+    }
+    # every reported jaccard must equal the brute-force value
+    by_id = dict(corpus)
+    for (a, b), j in got.items():
+        assert abs(j - _jaccard(by_id[a], by_id[b])) < 1e-9
+    # every high-jaccard pair (where 16-band/4-row LSH detection
+    # probability is ~1) must be found
+    brute_high = {
+        (a, b)
+        for (a, ta), (b, tb) in itertools.combinations(corpus, 2)
+        if _jaccard(ta, tb) >= 0.7
+    }
+    assert {(0, 4), (3, 7)} <= brute_high  # planted exact + appended-word dup
+    assert brute_high <= set(got), f"missing: {brute_high - set(got)}"
+
+
+def _py_simhash(text, num_bits=64):
+    toks = text.lower().split()
+    votes = [0] * num_bits
+    for t in toks:
+        h = int(dedup._fnv1a64(t))
+        for b in range(num_bits):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    sig = 0
+    for b in range(num_bits):
+        if votes[b] > 0:
+            sig |= 1 << b
+    return sig - (1 << 64) if sig >= (1 << 63) else sig  # as int64
+
+
+def test_simhash_near_duplicates(spark, corpus):
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in dedup.simhash_near_duplicates(
+            df, "doc_id", "text", max_hamming=3
+        ).collect()
+    }
+    # identical token streams -> hamming 0 (case/space-folded)
+    assert pairs.get((0, 4)) == 0 and pairs.get((0, 5)) == 0
+    # guarantee: every true pair with hamming <= 3 is found (pigeonhole
+    # over 4x16-bit chunks), and every reported hamming is exact
+    by_id = dict(corpus)
+    sigs = {i: _py_simhash(t) for i, t in corpus}
+    for (a, b), h in pairs.items():
+        true_h = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+        assert h == true_h and h <= 3, (a, b, h, true_h)
+    want = {
+        (a, b)
+        for (a, _), (b, _) in itertools.combinations(corpus, 2)
+        if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    assert want == set(pairs), (want, set(pairs))
+    _ = by_id
+
+
+def test_simhash_deterministic(spark, corpus):
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    a = {r["doc_id"]: r["simhash"] for r in dedup.with_simhash(df, "text").collect()}
+    b = {r["doc_id"]: r["simhash"] for r in dedup.with_simhash(df, "text").collect()}
+    assert a == b
+    assert a[0] == a[4]  # same tokens -> same signature
+
+
+def test_embedding_near_duplicates(spark):
+    rng = np.random.RandomState(0)
+    base = rng.randn(6, 16)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    # plant a near-dup of vector 2
+    v = base[2] + rng.randn(16) * 0.01
+    rows.append((6, (v / np.linalg.norm(v)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = dedup.embedding_near_duplicates(
+        df, "vec_id", "embedding", dim=16, threshold=0.95, n_planes=8
+    ).collect()
+    pairs = {(r["a"], r["b"]) for r in got}
+    assert (2, 6) in pairs
+    for r in got:
+        assert r["cos"] >= 0.95

@@ -1,0 +1,73 @@
+"""Similarity search: brute-force exact top-k vs numpy; IVF pruning
+recall; full-probe IVF == brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from logagent_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb_df):
+    rows = emb_df.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _numpy_topk(ids, mat, q, k):
+    qn = np.asarray(q) / np.linalg.norm(q)
+    norms = np.linalg.norm(mat, axis=1)
+    cos = (mat @ qn) / np.where(norms > 0, norms, 1.0)
+    order = np.lexsort((ids, -np.round(cos, 8)))
+    return [int(ids[i]) for i in order[:k]]
+
+
+def test_brute_force_topk_matches_numpy(emb_df, emb_np):
+    ids, mat = emb_np
+    q = mat[0].tolist()
+    got = [r["vec_id"] for r in sim.brute_force_topk(emb_df, "embedding", q, k=10).collect()]
+    assert got == _numpy_topk(ids, mat, q, 10)
+    assert got[0] == 0  # the query vector itself is its own nearest
+
+
+def test_ivf_full_probe_equals_bruteforce(emb_df, emb_np):
+    ids, mat = emb_np
+    dim = mat.shape[1]
+    cents = sim.seeded_centroids(dim, 8, seed=1)
+    indexed = sim.ivf_index(emb_df, "embedding", cents)
+    q = mat[3].tolist()
+    got = [r["vec_id"] for r in sim.ivf_topk(
+        indexed, "embedding", q, cents, k=10, nprobe=8).collect()]
+    assert got == _numpy_topk(ids, mat, q, 10)
+
+
+def test_ivf_pruned_recall(emb_df, emb_np):
+    ids, mat = emb_np
+    dim = mat.shape[1]
+    cents = sim.seeded_centroids(dim, 8, seed=1)
+    indexed = sim.ivf_index(emb_df, "embedding", cents).cache()
+    recalls = []
+    for qi in (0, 7, 42):
+        q = mat[qi].tolist()
+        want = set(_numpy_topk(ids, mat, q, 10))
+        got = {r["vec_id"] for r in sim.ivf_topk(
+            indexed, "embedding", q, cents, k=10, nprobe=4).collect()}
+        recalls.append(len(got & want) / 10)
+    indexed.unpersist()
+    assert sum(recalls) / len(recalls) >= 0.5  # half the buckets probed
+
+
+def test_bucket_assignment_is_valid(emb_df):
+    cents = sim.seeded_centroids(64, 8, seed=1)
+    indexed = sim.ivf_index(emb_df, "embedding", cents)
+    stats = indexed.groupBy("ivf_bucket").count().collect()
+    assert all(0 <= r["ivf_bucket"] < 8 for r in stats)
+    assert sum(r["count"] for r in stats) == emb_df.count()

@@ -1,0 +1,87 @@
+"""Text-analysis operators vs python oracles."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+from logagent_spark.operators import textstats as ts
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog", "en"),
+    (1, "der hund ist nicht ein fisch und das ist gut", "de"),
+    (2, "le chat est dans la maison et il dort", "fr"),
+    (3, "el perro y el gato no son una familia", "es"),
+    (4, "zzz qqq xxx", "und"),
+    (5, "Hello, world! How's it going? (fine).", "en"),
+    (6, "", "und"),
+    (7, "   spaced    out     tokens   ", "und"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t, _ in DOCS], "doc_id long, text string"
+    )
+
+
+def test_token_count(spark):
+    got = {r["doc_id"]: r["n"] for r in _df(spark).select(
+        "doc_id", ts.token_count(F.col("text")).alias("n")).collect()}
+    for i, t, _ in DOCS:
+        assert got[i] == len(t.split()), (i, t)
+
+
+def test_bpe_ish_tokens(spark):
+    got = {r["doc_id"]: r["n"] for r in _df(spark).select(
+        "doc_id", ts.bpe_ish_token_count(F.col("text")).alias("n")).collect()}
+    for i, t, _ in DOCS:
+        want = len(re.findall(ts.TOKEN_REGEX, t))
+        assert got[i] == want, (i, t, got[i], want)
+
+
+def test_langid_votes(spark):
+    got = {r["doc_id"]: r["lang"] for r in _df(spark).select(
+        "doc_id", ts.langid(F.col("text")).alias("lang")).collect()}
+    for i, _, want in DOCS:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_fingerprint_is_md5_of_normalized(spark):
+    got = {r["doc_id"]: r["fp"] for r in _df(spark).select(
+        "doc_id", ts.fingerprint(F.col("text")).alias("fp")).collect()}
+    for i, t, _ in DOCS:
+        norm = re.sub(r"\s+", " ", t.lower()).strip()
+        assert got[i] == hashlib.md5(norm.encode()).hexdigest()
+
+
+def test_fingerprint_normalization_collides_dups(spark):
+    df = spark.createDataFrame(
+        [(0, "The  Quick   Fox"), (1, "the quick fox"), (2, "a different doc")],
+        "doc_id long, text string",
+    )
+    fps = [r["fp"] for r in df.select(
+        ts.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(0, "a b c d e f"), (1, "a b")],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id", ts.shingles(F.col("text"), 3).alias("sh")).collect()}
+    assert got[0] == ["a b c", "b c d", "c d e", "d e f"]
+    assert got[1] == ["a b"]  # shorter than k: whole doc as one shingle
+
+
+def test_quality_and_ratios_bounded(spark):
+    rows = ts.with_text_stats(_df(spark)).collect()
+    for r in rows:
+        assert 0.0 <= r["quality"] <= 1.0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[0]["quality"] >= 0.75      # clean English prose
+    assert by_id[6]["n_tokens"] == 0        # empty doc doesn't divide by zero
