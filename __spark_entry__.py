@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship pipeline on sf0.001: regex-parse documents,
+                validate, broadcast-lookup enrich, route to 3 sinks,
+                return per-(sink, lang) counts.
+queries()     — one entry per implemented operator (SURVEY.md §2 +
+                training-data suite), each (spark, sf_dir) -> DataFrame.
+oracle_sql()  — DuckDB-equivalent SQL per query (omitted only for the
+                LSH/simhash/ANN ops whose hashing has no SQL analog).
 """
 
 from __future__ import annotations
@@ -12,27 +14,60 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logagent_spark import queries as _q
+from logagent_spark.config import PipelineSpec
+from logagent_spark.plans.pipeline import CompiledPipeline
+
+FLAGSHIP_SPEC = {
+    "Parser": {"Mode": "regex", "Regex": _q.HEAD_REGEX},
+    "Validators": [
+        {"Mode": "minlength", "Column": "text", "Number": 10},
+    ],
+    "Rewrites": [
+        {"Mode": "set", "Column": "pipeline", "Value": "flagship"},
+        {"Mode": "lookup", "Lookup": {
+            "key": "lang",
+            "table": [
+                {"lang": "en", "geo": "US"}, {"lang": "zh", "geo": "CN"},
+                {"lang": "de", "geo": "DE"}, {"lang": "fr", "geo": "FR"},
+                {"lang": "es", "geo": "MX"},
+            ],
+            "output": {"geo": "string"},
+            "on_miss": "drop",
+        }},
+    ],
+    "Handlers": [
+        {"Mode": "stream", "Name": "short_docs",
+         "Template": "[${pipeline}/${geo}] ${head}",
+         "Validators": [
+             {"Mode": "maxlength", "Column": "text", "Number": 200},
+         ]},
+        {"Mode": "stream", "Name": "long_docs",
+         "Template": "[${pipeline}/${geo}] ${head} :: ${rest}",
+         "Validators": [
+             {"Mode": "minlength", "Column": "text", "Number": 201},
+         ]},
+        {"Mode": "stream", "Name": "all_docs", "Template": "${text}"},
+    ],
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    spec = PipelineSpec.from_dict(FLAGSHIP_SPEC, name="flagship")
+    pipe = CompiledPipeline(spec)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = docs.withColumn("message", F.col("text"))
+    result = pipe.transform(docs)
+    routed = pipe.routed(result, keep=["doc_id", "lang", "geo"])
+    return pipe.sink_counts(routed, lang_col="lang").orderBy("sink", "lang")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _q.oracle_sql()

@@ -1,0 +1,560 @@
+"""Driver-facing query suite: every implemented operator as a
+(spark_callable, duckdb_oracle_sql) pair over the shared testdata tables.
+
+Contract (driver): each callable takes (spark, sf_dir) and returns a
+DataFrame; the oracle SQL runs on DuckDB views named after the tables.
+Column names are aliased identically on both sides; float outputs are
+emitted as floor-ppm BIGINTs so value hashes can't diverge on formatting.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logagent_spark.config import PipelineSpec
+from logagent_spark.operators import dedup as dd
+from logagent_spark.operators import similarity as sim
+from logagent_spark.operators import textstats as ts
+from logagent_spark.operators.template import compile_template
+from logagent_spark.operators.validators import compile_gate
+from logagent_spark.plans.pipeline import CompiledPipeline
+
+HEAD_REGEX = r"^(?P<head>\w+) (?P<rest>.*)$"
+TOKEN_REGEX_SQL = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ppm(col) -> F.Column:
+    return F.floor(col * 1000000).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# §2.2 parsers
+
+def q_parse_regex(spark, sf_dir):
+    spec = PipelineSpec.from_dict({
+        "Parser": {"Mode": "regex", "Regex": HEAD_REGEX},
+    })
+    docs = _t(spark, sf_dir, "documents").withColumn("message", F.col("text"))
+    res = CompiledPipeline(spec).transform(docs)
+    return res.frame.filter(F.col("head").isNotNull()).select(
+        "doc_id", "head", "rest"
+    )
+
+
+SQL_PARSE_REGEX = r"""
+SELECT doc_id,
+       regexp_extract(text, '^(\w+) (.*)$', 1) AS head,
+       regexp_extract(text, '^(\w+) (.*)$', 2) AS rest
+FROM documents
+WHERE regexp_matches(text, '^(\w+) (.*)$')
+"""
+
+
+def q_parse_csv(spark, sf_dir):
+    spec = PipelineSpec.from_dict({
+        "Parser": {"Mode": "csv", "Delimiters": " ",
+                   "Columns": ["c1", "c2", "c3"]},
+    })
+    docs = _t(spark, sf_dir, "documents").withColumn("message", F.col("text"))
+    res = CompiledPipeline(spec).transform(docs)
+    return res.frame.filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    ).select("doc_id", "c1", "c2", "c3")
+
+
+SQL_PARSE_CSV = r"""
+SELECT doc_id,
+       split_part(text, ' ', 1) AS c1,
+       split_part(text, ' ', 2) AS c2,
+       regexp_extract(text, '^[^ ]* [^ ]* (.*)$', 1) AS c3
+FROM documents
+WHERE len(string_split(text, ' ')) >= 3
+"""
+
+
+def q_parse_json(spark, sf_dir):
+    spec = PipelineSpec.from_dict({
+        "Parser": {"Mode": "jsonify", "Columns": ["k"],
+                   "Types": {"k": "double"}},
+    })
+    ev = _t(spark, sf_dir, "events").withColumn("message", F.col("props"))
+    res = CompiledPipeline(spec).transform(ev)
+    return res.frame.select("event_id", F.col("k").cast("long").alias("k_val"))
+
+
+SQL_PARSE_JSON = """
+SELECT event_id,
+       CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE) AS BIGINT) AS k_val
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 validators
+
+def q_validate_filter(spark, sf_dir):
+    spec = PipelineSpec.from_dict({
+        "Validators": [
+            {"Mode": "minlength", "Column": "text", "Number": 200},
+            {"Mode": "regex", "Column": "text", "Regex": "the"},
+            {"Mode": "maxvalue", "Column": "n_chars", "Number": 500},
+        ],
+    })
+    docs = _t(spark, sf_dir, "documents")
+    schema = {f.name: f.dataType for f in docs.schema.fields}
+    gate = compile_gate(spec.validators, schema)
+    return docs.filter(F.coalesce(gate, F.lit(False))).select("doc_id", "lang")
+
+
+SQL_VALIDATE_FILTER = """
+SELECT doc_id, lang FROM documents
+WHERE strlen(text) >= 200
+  AND regexp_matches(text, 'the')
+  AND n_chars <= 500
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 rewrites
+
+def q_rewrite_enrich(spark, sf_dir):
+    spec = PipelineSpec.from_dict({
+        "Rewrites": [
+            {"Mode": "set", "Column": "pipeline", "Value": "docs"},
+            {"Mode": "splicing", "Key": "tag",
+             "Columns": ["pipeline", "lang", "source"], "Delimiters": ":"},
+            {"Mode": "subst", "Column": "tag", "Old": "src", "Value": "source-"},
+            {"Mode": "mapping", "Column": "lang",
+             "Mapping": {"en": "english", "zh": "chinese", "de": "german",
+                         "fr": "french", "es": "spanish"}},
+        ],
+    })
+    docs = _t(spark, sf_dir, "documents")
+    res = CompiledPipeline(spec).transform(docs)
+    return res.frame.select("doc_id", "tag", F.col("lang").alias("lang_name"))
+
+
+SQL_REWRITE_ENRICH = """
+SELECT doc_id,
+       replace(concat_ws(':', 'docs', lang, source), 'src', 'source-') AS tag,
+       CASE lang WHEN 'en' THEN 'english' WHEN 'zh' THEN 'chinese'
+                 WHEN 'de' THEN 'german' WHEN 'fr' THEN 'french'
+                 WHEN 'es' THEN 'spanish' END AS lang_name
+FROM documents
+"""
+
+
+def q_rewrite_lookup_join(spark, sf_dir):
+    spec = PipelineSpec.from_dict({
+        "Rewrites": [
+            {"Mode": "lookup", "Lookup": {
+                "key": "lang",
+                "table": [
+                    {"lang": "en", "geo": "US"}, {"lang": "zh", "geo": "CN"},
+                    {"lang": "de", "geo": "DE"},
+                ],
+                "output": {"geo": "string"},
+                "on_miss": "drop",
+            }},
+        ],
+    })
+    docs = _t(spark, sf_dir, "documents")
+    res = CompiledPipeline(spec).transform(docs)
+    return res.frame.filter(F.col("_drop_reason").isNull()).select(
+        "doc_id", "lang", "geo"
+    )
+
+
+SQL_REWRITE_LOOKUP = """
+SELECT d.doc_id, d.lang, l.geo
+FROM documents d
+JOIN (VALUES ('en','US'), ('zh','CN'), ('de','DE')) l(lang, geo)
+  ON d.lang = l.lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 router / sinks + BASELINE aggregation
+
+ROUTER_SPEC = {
+    "Handlers": [
+        {"Mode": "stream", "Name": "errors",
+         "Template": "${event_type} ${props}",
+         "Validators": [
+             {"Mode": "value", "Column": "event_type", "Value": "error"},
+         ]},
+        {"Mode": "stream", "Name": "signups",
+         "Template": "${event_type} ${props}",
+         "Validators": [
+             {"Mode": "value", "Column": "event_type", "Value": "signup"},
+         ]},
+        {"Mode": "stream", "Name": "long_props",
+         "Template": "${props}",
+         "Validators": [
+             {"Mode": "minlength", "Column": "props", "Number": 9},
+         ]},
+        {"Mode": "stream", "Name": "all_events", "Template": "${event_type}"},
+    ],
+}
+
+
+def _routed_events(spark, sf_dir):
+    spec = PipelineSpec.from_dict(ROUTER_SPEC)
+    pipe = CompiledPipeline(spec)
+    ev = _t(spark, sf_dir, "events")
+    res = pipe.transform(ev)
+    return pipe, pipe.routed(res)
+
+
+def q_route_fanout_counts(spark, sf_dir):
+    pipe, routed = _routed_events(spark, sf_dir)
+    return pipe.sink_counts(routed)
+
+
+SQL_ROUTE_FANOUT = """
+SELECT * FROM (
+  SELECT 'errors' AS sink, count(*) AS n FROM events WHERE event_type = 'error'
+  UNION ALL
+  SELECT 'signups', count(*) FROM events WHERE event_type = 'signup'
+  UNION ALL
+  SELECT 'long_props', count(*) FROM events WHERE strlen(props) >= 9
+  UNION ALL
+  SELECT 'all_events', count(*) FROM events
+) WHERE n > 0
+"""
+
+
+def q_route_rendered(spark, sf_dir):
+    _, routed = _routed_events(spark, sf_dir)
+    return routed.filter(F.col("sink") == "errors").select(
+        "event_id", "rendered"
+    )
+
+
+SQL_ROUTE_RENDERED = """
+SELECT event_id, event_type || ' ' || props AS rendered
+FROM events WHERE event_type = 'error'
+"""
+
+
+def q_route_dead_letter(spark, sf_dir):
+    spec = PipelineSpec.from_dict({
+        "Rewrites": [
+            {"Mode": "mapping", "Column": "lang",
+             "Mapping": {"en": "english", "zh": "chinese", "de": "german"}},
+        ],
+        "Handlers": [{"Mode": "stream", "Name": "out", "Template": "${lang}"}],
+    })
+    pipe = CompiledPipeline(spec)
+    res = pipe.transform(_t(spark, sf_dir, "documents"))
+    return pipe.drop_counts(pipe.dead_letter(res))
+
+
+SQL_ROUTE_DEAD_LETTER = """
+SELECT 'mapping_miss:lang' AS reason, count(*) AS n
+FROM documents WHERE lang NOT IN ('en', 'zh', 'de')
+"""
+
+
+def q_agg_sink_counts(spark, sf_dir):
+    pipe, routed = _routed_events(spark, sf_dir)
+    return pipe.sink_counts(routed, lang_col="event_type", ts_col="ts",
+                            bucket="day")
+
+
+SQL_AGG_SINK_COUNTS = """
+WITH routed AS (
+  SELECT 'errors' AS sink, event_type, ts FROM events WHERE event_type='error'
+  UNION ALL
+  SELECT 'signups', event_type, ts FROM events WHERE event_type='signup'
+  UNION ALL
+  SELECT 'long_props', event_type, ts FROM events WHERE strlen(props) >= 9
+  UNION ALL
+  SELECT 'all_events', event_type, ts FROM events
+)
+SELECT sink, event_type,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS time_bucket,
+       count(*) AS n
+FROM routed GROUP BY 1, 2, 3
+"""
+
+
+def q_template_render(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    schema = {f.name: f.dataType for f in docs.schema.fields}
+    tmpl = "[${lang}] ${source} :: ${text} ${nope}"
+    return docs.select(
+        "doc_id", compile_template(tmpl, schema).alias("rendered")
+    )
+
+
+SQL_TEMPLATE_RENDER = """
+SELECT doc_id,
+       '[' || lang || '] ' || source || ' :: ' || text || ' ${nope}' AS rendered
+FROM documents
+"""
+
+
+def q_syslog_decode(spark, sf_dir):
+    from logagent_spark.sources import syslog_decode
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "message",
+        F.concat(
+            F.lit("<"),
+            ((F.col("event_id") % 24) * 8 + F.col("event_id") % 8).cast("string"),
+            F.lit(">"),
+            F.col("event_type"),
+            F.lit("\x00junk"),
+        ),
+    )
+    out = syslog_decode(ev, with_priority=True)
+    return out.select("event_id", "message", "facility", "severity")
+
+
+SQL_SYSLOG_DECODE = """
+SELECT event_id, event_type AS message,
+       event_id % 24 AS facility, event_id % 8 AS severity
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data ops
+
+def q_dedup_exact_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        dd.content_hash(F.col("text")).alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("h").alias("n_unique"),
+    )
+
+
+SQL_DEDUP_EXACT = r"""
+SELECT count(*) AS n_rows,
+       count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_unique
+FROM documents
+"""
+
+
+def q_text_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    n = ts.token_count(c)
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        ts.bpe_ish_token_count(c).alias("n_bpe_tokens"),
+        _ppm(ts.stopword_ratio(c, "en")).alias("stopword_ppm"),
+        _ppm(ts.punct_ratio(c)).alias("punct_ppm"),
+        ts.langid(c).alias("lang_pred"),
+        ts.fingerprint(c).alias("fingerprint"),
+    )
+
+
+def _sql_stopword_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in ts.STOPWORDS[lang])
+    return (
+        "len(list_filter(string_split_regex(lower(text), ' +'), "
+        f"x -> x <> '' AND list_contains([{words}], x)))"
+    )
+
+
+SQL_TEXT_STATS = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, ' +'), x -> x <> '')) AS n_tokens,
+         len(regexp_extract_all(text, '{TOKEN_REGEX_SQL}')) AS n_bpe_tokens,
+         {_sql_stopword_hits('en')} AS h_en,
+         {_sql_stopword_hits('de')} AS h_de,
+         {_sql_stopword_hits('fr')} AS h_fr,
+         {_sql_stopword_hits('es')} AS h_es,
+         strlen(text) AS total_bytes,
+         strlen(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS nonpunct_bytes,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_bpe_tokens,
+       CASE WHEN n_tokens > 0
+            THEN CAST(floor(h_en * 1000000.0 / n_tokens) AS BIGINT)
+            ELSE 0 END AS stopword_ppm,
+       CASE WHEN total_bytes > 0
+            THEN CAST(floor((total_bytes - nonpunct_bytes) * 1000000.0 / total_bytes) AS BIGINT)
+            ELSE 0 END AS punct_ppm,
+       CASE WHEN h_en > 0 AND h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+            WHEN h_de > 0 AND h_de >= h_fr AND h_de >= h_es THEN 'de'
+            WHEN h_fr > 0 AND h_fr >= h_es THEN 'fr'
+            WHEN h_es > 0 THEN 'es'
+            ELSE 'und' END AS lang_pred,
+       fingerprint
+FROM base
+"""
+
+
+def q_fingerprint_minshingle(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ts.min_shingle_fingerprint(F.col("text"), 5).alias("min_fp"),
+    )
+
+
+SQL_FINGERPRINT_MINSHINGLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, ' +'), x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(t) >= 5 THEN
+         list_min(list_transform(
+           generate_series(1, len(t) - 4),
+           i -> md5(array_to_string(list_slice(t, i, i + 4), ' '))))
+       ELSE md5(array_to_string(t, ' ')) END AS min_fp
+FROM toks
+"""
+
+
+def q_quality_filter(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    keep = (
+        (ts.token_count(c) >= 10)
+        & (ts.punct_ratio(c) < 0.05)
+        & (ts.stopword_hits(c, "en") > 0)
+    )
+    return docs.filter(keep).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_QUALITY_FILTER = f"""
+SELECT lang, count(*) AS n FROM documents
+WHERE len(list_filter(string_split_regex(text, ' +'), x -> x <> '')) >= 10
+  AND (strlen(text) - strlen(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+      * 1.0 / strlen(text) < 0.05
+  AND {_sql_stopword_hits('en')} > 0
+GROUP BY lang
+"""
+
+
+def q_similarity_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    # floor-ppm scores: identical IEEE sequential math on both engines,
+    # and the top-k boundary is decided on the SAME quantized value
+    scored = emb.select(
+        "vec_id", _ppm(sim.cosine_to_query(F.col("embedding"), q)).alias("cos_ppm")
+    )
+    return scored.orderBy(F.col("cos_ppm").desc(), F.col("vec_id")).limit(10)
+
+
+SQL_SIMILARITY_TOPK = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         CAST(floor(list_cosine_similarity(embedding::DOUBLE[], q.qe) * 1000000) AS BIGINT) AS cos_ppm
+  FROM embeddings, q
+)
+SELECT vec_id, cos_ppm FROM scored
+ORDER BY cos_ppm DESC, vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible ops (rows-only driver check)
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dd.minhash_near_duplicates(
+        docs, "doc_id", "text", threshold=0.5, num_hashes=32, bands=8
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dd.with_simhash(docs, "text").select("doc_id", "simhash")
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = sim.seeded_centroids(64, 8, seed=1)
+    indexed = sim.ivf_index(emb, "embedding", cents)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return sim.ivf_topk(indexed, "embedding", q, cents, k=10, nprobe=4)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return dd.embedding_near_duplicates(
+        emb, "vec_id", "embedding", dim=64, threshold=0.9, n_planes=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "parse_regex": q_parse_regex,
+        "parse_csv": q_parse_csv,
+        "parse_json": q_parse_json,
+        "validate_filter": q_validate_filter,
+        "rewrite_enrich": q_rewrite_enrich,
+        "rewrite_lookup_join": q_rewrite_lookup_join,
+        "route_fanout_counts": q_route_fanout_counts,
+        "route_rendered": q_route_rendered,
+        "route_dead_letter": q_route_dead_letter,
+        "agg_sink_counts": q_agg_sink_counts,
+        "template_render": q_template_render,
+        "syslog_decode": q_syslog_decode,
+        "dedup_exact_stats": q_dedup_exact_stats,
+        "text_stats": q_text_stats,
+        "fingerprint_minshingle": q_fingerprint_minshingle,
+        "quality_filter": q_quality_filter,
+        "similarity_topk": q_similarity_topk,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "parse_regex": SQL_PARSE_REGEX,
+        "parse_csv": SQL_PARSE_CSV,
+        "parse_json": SQL_PARSE_JSON,
+        "validate_filter": SQL_VALIDATE_FILTER,
+        "rewrite_enrich": SQL_REWRITE_ENRICH,
+        "rewrite_lookup_join": SQL_REWRITE_LOOKUP,
+        "route_fanout_counts": SQL_ROUTE_FANOUT,
+        "route_rendered": SQL_ROUTE_RENDERED,
+        "route_dead_letter": SQL_ROUTE_DEAD_LETTER,
+        "agg_sink_counts": SQL_AGG_SINK_COUNTS,
+        "template_render": SQL_TEMPLATE_RENDER,
+        "syslog_decode": SQL_SYSLOG_DECODE,
+        "dedup_exact_stats": SQL_DEDUP_EXACT,
+        "text_stats": SQL_TEXT_STATS,
+        "fingerprint_minshingle": SQL_FINGERPRINT_MINSHINGLE,
+        "quality_filter": SQL_QUALITY_FILTER,
+        "similarity_topk": SQL_SIMILARITY_TOPK,
+        # dedup_minhash_pairs / dedup_simhash / ann_ivf_topk /
+        # embedding_near_dup: no SQL equivalent (LSH banding, FNV simhash,
+        # seeded centroids) -> rows-only check
+    }

@@ -78,11 +78,13 @@ def syslog_decode(
         import re as _re
 
         body = F.get(F.split(body, _re.escape(end), 2), 0)
-    out = df.withColumn(message_col, body)
+    out = df
     if with_priority:
+        # derive priority BEFORE the message column is overwritten —
+        # column exprs resolve against the frame they're applied to
         pri_l = pri.try_cast(T.LongType())
         out = (
             out.withColumn("facility", F.shiftright(pri_l, 3))
             .withColumn("severity", pri_l.bitwiseAND(F.lit(7)))
         )
-    return out
+    return out.withColumn(message_col, body)
