@@ -36,7 +36,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CACHE = os.path.join(REPO, ".bench_cache")
 
-PAGES_ROWS = {"sf0.001": 5_000, "sf0.01": 50_000, "sf0.1": 500_000}
+PAGES_ROWS = {"sf0.001": 5_000, "sf0.01": 50_000, "sf0.1": 2_000_000}
 
 PIPELINE_SPEC = {
     "Parser": {"Mode": "regex",

@@ -1,0 +1,103 @@
+"""Streaming execution of a compiled pipeline.
+
+The reference is a streaming agent (channel + worker pool,
+/root/reference/agent/task/task.go:75-199) with a hand-rolled Kafka
+offset checkpoint (collector.go:230-260). The Spark-native equivalent is
+Structured Streaming:
+
+  * source: file-stream over the landing directory (stands in for the
+    file/dir/kafka collectors; a real deployment swaps
+    `readStream.format("kafka")` — same downstream plan);
+  * the SAME CompiledPipeline.transform / multiplexed expressions run on
+    each micro-batch (one code path for batch and streaming — the
+    transform is pure Column algebra);
+  * sink fan-out via foreachBatch writing the multiplex partitionBy(sink)
+    layout — exactly-once per micro-batch with the streaming checkpoint
+    (the reference's offset file, done by the engine);
+  * per-handler counters as a windowed streaming aggregation with a
+    watermark for late data (the reference only has arrival time and no
+    late-data story — SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from logagent_spark.plans.pipeline import SINK_COL, CompiledPipeline
+
+
+def start_streaming_pipeline(
+    pipe: CompiledPipeline,
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    schema: T.StructType,
+    source_adapter=None,
+    keep: list[str] | None = None,
+    max_files_per_trigger: int = 8,
+):
+    """File-stream -> compiled pipeline -> multiplex sink write.
+    Returns the StreamingQuery (caller: processAllAvailable()/stop())."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    if source_adapter is not None:
+        stream = source_adapter(stream)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        result = pipe.transform(batch_df)
+        out = pipe.multiplexed(result, keep=keep)
+        (
+            out.withColumn("_epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .partitionBy(SINK_COL)
+            .parquet(out_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_sink_counts(
+    pipe: CompiledPipeline,
+    spark: SparkSession,
+    input_dir: str,
+    *,
+    schema: T.StructType,
+    source_adapter=None,
+    ts_col: str = "warc_ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    query_name: str = "sink_counts",
+):
+    """Windowed per-sink counters as a live streaming aggregation
+    (watermark bounds state; 'update' into the in-memory sink for tests,
+    a kafka/parquet sink in production)."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    if source_adapter is not None:
+        stream = source_adapter(stream)
+
+    result = pipe.transform(stream)
+    routed = pipe.routed(result)
+    agg = (
+        routed.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col(SINK_COL))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

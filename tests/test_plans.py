@@ -1,0 +1,156 @@
+"""Physical-plan quality gates: the plans Catalyst produces must be the
+plans we designed for 100 TB — broadcast joins stay broadcast, filters
+reach the parquet scan, the fan-out stays shuffle-free, parsing stays
+JVM-side unless the grok path is explicitly chosen."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from logagent_spark.config import PipelineSpec
+from logagent_spark.datagen import WAF_REGEX, write_pages
+from logagent_spark.plans import skew
+from logagent_spark.plans.pipeline import CompiledPipeline
+from logagent_spark.sources import from_pages
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "pages")
+    write_pages(spark, p, 3000, seed=13, n_hosts=25, partitions=4)
+    return p
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+LOOKUP_SPEC = {
+    "Rewrites": [
+        {"Mode": "lookup", "Lookup": {
+            "key": "lang",
+            "table": [{"lang": "en", "geo": "US"}, {"lang": "de", "geo": "DE"}],
+            "output": {"geo": "string"}, "on_miss": "null",
+        }},
+    ],
+    "Handlers": [{"Mode": "stream", "Name": "out", "Template": "${lang}"}],
+}
+
+
+def test_lookup_is_broadcast_join(spark, pages_path):
+    pipe = CompiledPipeline(PipelineSpec.from_dict(LOOKUP_SPEC))
+    res = pipe.transform(from_pages(spark.read.parquet(pages_path)))
+    plan = _plan(res.frame)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, pages_path):
+    df = spark.read.parquet(pages_path).filter(F.col("lang") == "en").select(
+        "url", "lang"
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    # column pruning: html (the fat column) must NOT be read
+    assert "html" not in plan.split("ReadSchema")[1]
+
+
+def test_fanout_is_shuffle_free(spark, pages_path):
+    spec = {
+        "Parser": {"Mode": "regex", "Regex": WAF_REGEX},
+        "Handlers": [
+            {"Mode": "stream", "Name": "errors", "Template": "${ts}",
+             "Validators": [{"Mode": "value", "Column": "levelname",
+                             "Value": "ERROR"}]},
+            {"Mode": "stream", "Name": "all", "Template": "${message}"},
+        ],
+    }
+    pipe = CompiledPipeline(PipelineSpec.from_dict(spec))
+    res = pipe.transform(from_pages(spark.read.parquet(pages_path)))
+    out = pipe.multiplexed(res, keep=["url", "lang", "warc_ts"])
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan  # scan -> project -> explode -> union
+
+
+def test_native_parse_is_jvm_only(spark, pages_path):
+    spec = PipelineSpec.from_dict({"Parser": {"Mode": "regex", "Regex": WAF_REGEX}})
+    res = CompiledPipeline(spec).transform(
+        from_pages(spark.read.parquet(pages_path))
+    )
+    plan = _plan(res.frame)
+    assert "EvalPython" not in plan
+    assert "*(" in plan  # whole-stage codegen spans render as *(n)
+
+
+def test_grok_parse_is_arrow_vectorized(spark, pages_path):
+    spec = PipelineSpec.from_dict({"Parser": {"Mode": "regex", "Regex": WAF_REGEX}})
+    res = CompiledPipeline(spec, regex_strategy="grok").transform(
+        from_pages(spark.read.parquet(pages_path))
+    )
+    plan = _plan(res.frame)
+    assert "ArrowEvalPython" in plan       # vectorized, not row-at-a-time
+    assert "BatchEvalPython" not in plan
+
+
+def test_sink_counts_partial_aggregation(spark, pages_path):
+    spec = {
+        "Handlers": [{"Mode": "stream", "Name": "all", "Template": "${text}"}],
+    }
+    pipe = CompiledPipeline(PipelineSpec.from_dict(spec))
+    res = pipe.transform(from_pages(spark.read.parquet(pages_path)))
+    counts = pipe.sink_counts(pipe.routed(res), lang_col="lang")
+    plan = _plan(counts)
+    # map-side partial + final: two HashAggregates around one Exchange
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+
+
+# ---------------------------------------------------------------------------
+# skew utilities
+
+def test_salted_repartition_balances_zipf_hosts(spark, pages_path):
+    df = spark.read.parquet(pages_path)
+    n_part = 8
+    # skewed baseline: partition by host (Zipf) concentrates rows
+    by_host = df.repartition(n_part, skew.host_of(F.col("url")))
+    sizes_host = [
+        r["count"]
+        for r in by_host.groupBy(F.spark_partition_id()).count().collect()
+    ]
+    salted = skew.salted_repartition(df, "url", n_part)
+    sizes_salted = [
+        r["count"]
+        for r in salted.groupBy(F.spark_partition_id()).count().collect()
+    ]
+    total = df.count()
+    assert max(sizes_host) > total / n_part * 1.5   # skew is real
+    assert max(sizes_salted) < total / n_part * 1.3  # salting removes it
+
+
+def test_count_distinct_salted_exact(spark, pages_path):
+    df = spark.read.parquet(pages_path).select(
+        skew.host_of(F.col("url")).alias("host"), "url", "lang"
+    )
+    got = {
+        (r["lang"],): r["n_distinct"]
+        for r in skew.count_distinct_salted(df, ["lang"], "url").collect()
+    }
+    want = {
+        (r["lang"],): r["n"]
+        for r in df.groupBy("lang")
+        .agg(F.countDistinct("url").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_top_hosts_diagnostic(spark, pages_path):
+    top = skew.top_hosts(spark.read.parquet(pages_path), k=5).collect()
+    assert len(top) == 5
+    assert top[0]["n"] >= top[-1]["n"]
+    assert top[0]["host"].endswith(".example.org")
