@@ -25,6 +25,12 @@ import numpy as np
 import pandas as pd
 
 WAF_REGEX = r"^(?P<ts>.*?) - (?P<levelname>.*?) - (?P<body>.*?)$"
+# unanchored form for payloads embedded in filler prose (FIXTURES.md F1):
+# recovers the identical three groups from anywhere in the document
+EMBEDDED_WAF_REGEX = (
+    r"(?P<ts>\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{3})"
+    r" - (?P<levelname>[A-Z]+) - (?P<body>[^\n]*)"
+)
 LEVELS = ["INFO", "ERROR", "WARN", "DEBUG"]
 LANGS = ["en", "zh", "de", "fr", "es", "ru", "ja", "xx", "yy"]
 # lookup dim deliberately misses "xx" / "yy" (FIXTURES.md F3)
@@ -45,8 +51,27 @@ _WORDS = (
 ).split()
 
 
-def gen_pages(n: int, seed: int = 42, n_hosts: int = 1000) -> pd.DataFrame:
-    """Vectorized (pandas/numpy string ops) — ~5s per million rows."""
+def _sentence_bank(rng: np.random.RandomState, n_sentences: int = 48) -> np.ndarray:
+    """Deterministic filler-prose sentences (~90 bytes each)."""
+    out = []
+    for _ in range(n_sentences):
+        k = rng.randint(8, 14)
+        words = rng.choice(_WORDS, k)
+        out.append(" ".join(words).capitalize() + ".")
+    return np.array(out)
+
+
+def gen_pages(
+    n: int, seed: int = 42, n_hosts: int = 1000, filler_sentences: int = 0
+) -> pd.DataFrame:
+    """Vectorized (pandas/numpy string ops) — ~5s per million rows.
+
+    filler_sentences > 0 embeds the payload line INSIDE filler prose
+    (FIXTURES.md F1: "log-line-shaped payload embedded in filler prose;
+    the regex dictionary must recover it byte-identically") — the
+    realistic CC-style document shape for benchmarks; 0 keeps the bare
+    payload (compact unit-test shape).
+    """
     rng = np.random.RandomState(seed)
     # Zipf-skewed host ids clipped to the host universe
     hosts = np.minimum(rng.zipf(1.3, n) - 1, n_hosts - 1)
@@ -87,6 +112,18 @@ def gen_pages(n: int, seed: int = 42, n_hosts: int = 1000) -> pd.DataFrame:
         ~(kinds == "json"), jsonl
     ).where(~(kinds == "badjson"), badjson)
 
+    if filler_sentences > 0:
+        bank = _sentence_bank(rng)
+        half = filler_sentences // 2 or 1
+        pre_idx = rng.randint(0, len(bank), (n, half))
+        suf_idx = rng.randint(0, len(bank), (n, half))
+        prefix = pd.Series(bank[pre_idx[:, 0]])
+        suffix = pd.Series(bank[suf_idx[:, 0]])
+        for j in range(1, half):
+            prefix = prefix + " " + pd.Series(bank[pre_idx[:, j]])
+            suffix = suffix + " " + pd.Series(bank[suf_idx[:, j]])
+        texts = prefix + "\n" + texts + "\n" + suffix
+
     htmls = ("<html><body>" + texts + "</body></html>").map(
         lambda s: s.encode()
     )
@@ -114,10 +151,12 @@ def lookup_df(spark):
     return spark.createDataFrame(LOOKUP_ROWS, schema=schema)
 
 
-def pages_df(spark, n: int, seed: int = 42, n_hosts: int = 1000):
+def pages_df(spark, n: int, seed: int = 42, n_hosts: int = 1000,
+             filler_sentences: int = 0):
     from pyspark.sql import types as T
 
-    pdf = gen_pages(n, seed=seed, n_hosts=n_hosts)
+    pdf = gen_pages(n, seed=seed, n_hosts=n_hosts,
+                    filler_sentences=filler_sentences)
     schema = T.StructType([
         T.StructField("url", T.StringType(), False),
         T.StructField("warc_ts", T.TimestampType(), False),
@@ -129,8 +168,10 @@ def pages_df(spark, n: int, seed: int = 42, n_hosts: int = 1000):
 
 
 def write_pages(spark, path: str, n: int, seed: int = 42,
-                n_hosts: int = 1000, partitions: int = 8) -> str:
-    pages_df(spark, n, seed=seed, n_hosts=n_hosts).repartition(
-        partitions
-    ).write.mode("overwrite").parquet(path)
+                n_hosts: int = 1000, partitions: int = 8,
+                filler_sentences: int = 0) -> str:
+    pages_df(
+        spark, n, seed=seed, n_hosts=n_hosts,
+        filler_sentences=filler_sentences,
+    ).repartition(partitions).write.mode("overwrite").parquet(path)
     return path

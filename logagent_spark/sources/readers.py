@@ -59,6 +59,39 @@ def read_json_lines(
     return read_text_lines(spark, path)
 
 
+def read_whole_files(
+    spark: SparkSession, directory: str, name_pattern: str = "*"
+) -> DataFrame:
+    """dir collector (collector.go:275-324): whole file body -> one
+    message; filename regex becomes a glob filter on the listing (the
+    100 ms poll loop is file-source discovery in streaming mode)."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", name_pattern)
+        .load(directory)
+        .select(
+            F.col("path"),
+            F.col("content").cast("string").alias("message"),
+            F.col("modificationTime").alias("timestamp"),
+        )
+    )
+    return df.withColumn("device_id", F.lit(DEVICE_ID))
+
+
+def degradation_sample(
+    df: DataFrame, cpu_percent: float, cpu_limit: float, seed: int = 42
+) -> DataFrame:
+    """Load-shed sampling (agent.go:83-93 + task.go:418-428): when CPU
+    exceeds the limit, each message independently survives with
+    p = (100 - cpu)/100, applied BEFORE parsing. Batch analog: the same
+    Bernoulli sample at the scan (seeded here for reproducible tests;
+    the reference is nondeterministic — SURVEY.md §2.6)."""
+    if cpu_percent <= cpu_limit:
+        return df
+    rate = max(0.0, (100.0 - cpu_percent) / 100.0)
+    return df.sample(fraction=rate, seed=seed)
+
+
 def syslog_decode(
     df: DataFrame,
     message_col: str = "message",
