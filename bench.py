@@ -155,10 +155,10 @@ def worker_main(parallelism: int) -> None:
     pages = ensure_pages(spark, n)
     out_dir = os.path.join(CACHE, f"out_w{parallelism}")
     run_pipeline_once(spark, pages, out_dir)  # warmup
-    stats = run_pipeline_once(spark, pages, out_dir)
-    again = run_pipeline_once(spark, pages, out_dir)
-    if again["pipeline_sec"] < stats["pipeline_sec"]:
-        stats = again
+    stats = min(
+        (run_pipeline_once(spark, pages, out_dir) for _ in range(3)),
+        key=lambda s: s["pipeline_sec"],
+    )
     print("WORKER_RESULT " + json.dumps(stats))
     spark.stop()
 
