@@ -1,0 +1,139 @@
+"""Property-based parity: random inputs through the compiled Column
+expressions must match the Python oracle byte-for-byte. Each example is
+a BATCH of rows (one Spark job per hypothesis example keeps wall-time
+sane at max_examples=8)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from logagent_spark import oracle
+from logagent_spark.config import (
+    ParserSpec,
+    PipelineSpec,
+    RewriteSpec,
+    ValidatorSpec,
+)
+from logagent_spark.operators.template import compile_template
+from logagent_spark.plans.pipeline import DROP_COL, CompiledPipeline
+
+# text with the troublemakers: delimiters, ${}, unicode, spaces, newlines
+TEXT = st.text(alphabet="abcX $,{}|:\n\t.€漢", max_size=30)
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _msg_df(spark, messages):
+    return spark.createDataFrame(
+        [(i, m) for i, m in enumerate(messages)],
+        schema=T.StructType([
+            T.StructField("id", T.LongType(), False),
+            T.StructField("message", T.StringType(), True),
+        ]),
+    )
+
+
+@given(msgs=st.lists(TEXT, min_size=1, max_size=40),
+       delim=st.sampled_from([",", "|", " ", "::", "$"]),
+       ncols=st.integers(1, 4))
+@settings(**SETTINGS)
+def test_csv_parser_property(spark, msgs, delim, ncols):
+    parser = ParserSpec(
+        mode="csv", delimiters=delim,
+        columns=[f"c{i}" for i in range(ncols)],
+    )
+    pipe = CompiledPipeline(PipelineSpec(parser=parser))
+    got = {
+        r["id"]: r.asDict()
+        for r in pipe.transform(_msg_df(spark, msgs)).frame.collect()
+    }
+    for i, m in enumerate(msgs):
+        msg = {"id": i, "message": m}
+        oracle.parse_row(parser, msg)
+        for c in parser.columns:
+            assert got[i].get(c) == msg.get(c), (m, c, got[i], msg)
+
+
+@given(template=TEXT,
+       vals=st.lists(
+           st.one_of(st.none(), TEXT, st.integers(-5, 5)),
+           min_size=2, max_size=2))
+@settings(**SETTINGS)
+def test_template_property(spark, template, vals):
+    schema = T.StructType([
+        T.StructField("message", T.StringType()),
+        T.StructField("a", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ])
+    a = vals[0] if isinstance(vals[0], (str, type(None))) else str(vals[0])
+    n = vals[1] if isinstance(vals[1], (int, type(None))) else None
+    rows = [{"message": "m0", "a": a, "n": n}]
+    df = spark.createDataFrame(rows, schema=schema)
+    smap = {f.name: f.dataType for f in schema.fields}
+    got = df.select(compile_template(template, smap).alias("r")).collect()[0]["r"]
+    want = oracle.render_template(
+        template, {k: v for k, v in rows[0].items() if v is not None}
+    )
+    assert got == want, (template, rows[0], got, want)
+
+
+@given(msgs=st.lists(TEXT, min_size=1, max_size=40),
+       n=st.integers(0, 12),
+       mode=st.sampled_from(["maxlength", "minlength"]))
+@settings(**SETTINGS)
+def test_bytelength_validator_property(spark, msgs, n, mode):
+    v = ValidatorSpec(mode=mode, column="message", number=n)
+    spec = PipelineSpec(
+        validators=[v],
+        handlers=[],
+    )
+    pipe = CompiledPipeline(spec)
+    got = {
+        r["id"]: r[DROP_COL] is None
+        for r in pipe.transform(_msg_df(spark, msgs)).frame.collect()
+    }
+    for i, m in enumerate(msgs):
+        want = oracle.validate_row(v, {"message": m})
+        assert got[i] == want, (m, n, mode)
+
+
+@given(msgs=st.lists(TEXT, min_size=1, max_size=30),
+       old=TEXT.filter(lambda s: len(s) > 0),
+       new=TEXT)
+@settings(**SETTINGS)
+def test_subst_property(spark, msgs, old, new):
+    rw = RewriteSpec(mode="subst", column="message", old=old, value=new)
+    pipe = CompiledPipeline(PipelineSpec(rewrites=[rw]))
+    got = {
+        r["id"]: r["message"]
+        for r in pipe.transform(_msg_df(spark, msgs)).frame.collect()
+    }
+    for i, m in enumerate(msgs):
+        msg = {"message": m}
+        oracle.rewrite_row(rw, msg)
+        assert got[i] == msg["message"], (m, old, new)
+
+
+@given(msgs=st.lists(TEXT, min_size=1, max_size=30),
+       mapping=st.dictionaries(TEXT, TEXT, min_size=1, max_size=5))
+@settings(**SETTINGS)
+def test_mapping_property(spark, msgs, mapping):
+    rw = RewriteSpec(mode="mapping", column="message", mapping=mapping)
+    pipe = CompiledPipeline(PipelineSpec(rewrites=[rw]))
+    got = {
+        r["id"]: (r[DROP_COL], r["message"])
+        for r in pipe.transform(_msg_df(spark, msgs)).frame.collect()
+    }
+    for i, m in enumerate(msgs):
+        msg = {"message": m}
+        try:
+            oracle.rewrite_row(rw, msg)
+            assert got[i] == (None, msg["message"]), (m, mapping)
+        except oracle.RowError as e:
+            assert got[i][0] == e.reason, (m, mapping, got[i])
