@@ -12,8 +12,10 @@ Workload:
   * per-stage breakdown + operator queries over the driver testdata
     tables (router counts, text stats, minhash dedup, ANN top-k).
   * scaling evidence (north rule): the SAME pipeline job at local[8]
-    and local[32] in fresh JVMs (subprocess), reporting docs/sec at both
-    and efficiency = (t8 / t32) / 4.
+    and local[32] — sequential sessions in ONE JIT-warm JVM (cross-JVM
+    C2 compilation variance dominated subprocess measurements), warmup +
+    min-of-3 per level — reporting docs/sec at both levels and
+    efficiency = (t8 / t32) / 4.
 
 Usage:
   python bench.py                 # full bench, one JSON line on stdout
@@ -106,6 +108,7 @@ def _session(parallelism: int):
         extra={
             # commit files at task completion (parallel), not job end
             "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "24g"),
         },
     )
 
@@ -146,21 +149,27 @@ def run_pipeline_once(spark, pages_path: str, out_dir: str) -> dict:
     }
 
 
-def worker_main(parallelism: int) -> None:
-    """Steady-state measurement: one warmup pass (codegen compile, JIT,
-    page cache), then the best of two timed passes — what a long-running
-    cluster job actually sustains, not JVM cold-start."""
+def measure_level(parallelism: int, runs: int = 3) -> dict:
+    """Steady-state measurement at one parallelism level: one warmup
+    pass (codegen compile, JIT, page cache), then min of `runs` timed
+    passes — what a long-running cluster job sustains, not JVM
+    cold-start. Sessions are recreated in-process so both levels share
+    one JIT-warm JVM (cross-JVM C2 variance was the dominant noise)."""
     spark = _session(parallelism)
     n = PAGES_ROWS.get(_sf_name(), 4_000_000)
     pages = ensure_pages(spark, n)
     out_dir = os.path.join(CACHE, f"out_w{parallelism}")
     run_pipeline_once(spark, pages, out_dir)  # warmup
     stats = min(
-        (run_pipeline_once(spark, pages, out_dir) for _ in range(3)),
+        (run_pipeline_once(spark, pages, out_dir) for _ in range(runs)),
         key=lambda s: s["pipeline_sec"],
     )
-    print("WORKER_RESULT " + json.dumps(stats))
     spark.stop()
+    return stats
+
+
+def worker_main(parallelism: int) -> None:
+    print("WORKER_RESULT " + json.dumps(measure_level(parallelism)))
 
 
 def _run_worker(parallelism: int) -> dict:
@@ -252,10 +261,20 @@ def main() -> None:
 
     queries: dict[str, float] = {}
 
-    # scaling runs in fresh JVMs (the north-rule evidence)
+    # scaling evidence (north rule): same job, same input, N vs 4N cores.
+    # Levels are measured in INTERLEAVED visits (hi,lo,hi,lo) and the
+    # min per level wins: background contention on a shared host comes
+    # in bursts, and interleaving keeps a burst from biasing one level.
     low_par = max(2, CPUS // 4)
-    t_lo = _run_worker(low_par)
-    t_hi = _run_worker(CPUS)
+    t_hi: dict | None = None
+    t_lo: dict | None = None
+    for _ in range(2):
+        m = measure_level(CPUS, runs=2)
+        if t_hi is None or m["pipeline_sec"] < t_hi["pipeline_sec"]:
+            t_hi = m
+        m = measure_level(low_par, runs=2)
+        if t_lo is None or m["pipeline_sec"] < t_lo["pipeline_sec"]:
+            t_lo = m
     speedup = t_lo["pipeline_sec"] / t_hi["pipeline_sec"]
     efficiency = speedup / (CPUS / low_par)
 

@@ -22,7 +22,7 @@ import json
 from dataclasses import dataclass, field
 from typing import Any
 
-VALID_PARSER_MODES = {"csv", "regex", "jsonify"}
+VALID_PARSER_MODES = {"csv", "regex", "jsonify", "grok"}
 VALID_REWRITE_MODES = {
     "set", "subst", "mapping", "jsonify", "unjsonify", "command",
     "splicing", "lookup",
@@ -49,6 +49,8 @@ class ParserSpec:
     columns: list[str] = field(default_factory=list)
     # extension: declared types for jsonify columns ("string" default)
     types: dict[str, str] = field(default_factory=dict)
+    # extension: grok dictionary — ordered named patterns, first match wins
+    patterns: dict[str, str] = field(default_factory=dict)
 
     def validate(self) -> None:
         if not self.mode:
@@ -59,6 +61,8 @@ class ParserSpec:
             raise SpecError("csv parse requires columns")
         if self.mode == "regex" and not self.regex:
             raise SpecError("regex parse requires regex")
+        if self.mode == "grok" and not self.patterns:
+            raise SpecError("grok parse requires patterns")
         if self.mode == "jsonify" and not self.columns:
             raise SpecError(
                 "jsonify parse requires declared columns (schema-first engine)"
@@ -205,6 +209,7 @@ class PipelineSpec:
             delimiters=p.get("delimiters", ""),
             columns=list(p.get("columns", []) or []),
             types=dict(p.get("types", {}) or {}),
+            patterns=dict(p.get("patterns", {}) or {}),
         )
         for r in d.get("rewrites", []) or []:
             r = low(r)

@@ -91,6 +91,9 @@ def compile_parser(
             schema_updates={name: T.StringType() for name in groups},
         )
 
+    if spec.mode == "grok":
+        return _compile_grok_dictionary(spec.patterns)
+
     if spec.mode == "jsonify":
         corrupt = "_corrupt"
         struct_type = T.StructType(
@@ -133,6 +136,55 @@ def compile_parser(
         )
 
     raise ValueError(f"unsupported parser mode `{spec.mode}`")
+
+
+def _compile_grok_dictionary(patterns: dict[str, str]) -> CompiledParser:
+    """Grok DICTIONARY (BASELINE north-star): ordered named patterns,
+    first matching pattern wins and contributes its named groups; the
+    winning pattern's name lands in `grok_pattern`. One vectorized
+    pandas UDF evaluates the whole dictionary per Arrow batch — each
+    pattern runs only on the rows no earlier pattern matched."""
+    compiled = {name: re.compile(p) for name, p in patterns.items()}
+    all_groups: list[str] = []
+    for name, cre in compiled.items():
+        for g in cre.groupindex:
+            if g not in all_groups:
+                all_groups.append(g)
+    out_type = T.StructType(
+        [T.StructField("grok_pattern", T.StringType(), True)]
+        + [T.StructField(g, T.StringType(), True) for g in all_groups]
+    )
+
+    @F.pandas_udf(out_type)
+    def grok_dict(s: pd.Series) -> pd.DataFrame:
+        df = pd.DataFrame(index=s.index,
+                          columns=["grok_pattern", *all_groups], dtype=object)
+        todo = s.notna()
+        for name, cre in compiled.items():
+            if not todo.any():
+                break
+            sub = s[todo]
+            matched = sub.str.contains(cre, regex=True, na=False)
+            hit_idx = matched[matched].index
+            if len(hit_idx) == 0:
+                continue
+            ext = s[hit_idx].str.extract(cre, expand=True)
+            df.loc[hit_idx, "grok_pattern"] = name
+            for g, gi in cre.groupindex.items():
+                col = ext[g] if g in ext.columns else ext[gi - 1]
+                df.loc[hit_idx, g] = col.fillna("")
+            todo = todo & ~s.index.isin(hit_idx)
+        return df
+
+    tmp = "_grokdict_parsed"
+    cols: list[tuple[str, Column]] = [(tmp, grok_dict(F.col("message")))]
+    updates: dict[str, T.DataType] = {"grok_pattern": T.StringType()}
+    cols.append(("grok_pattern", F.col(tmp).getField("grok_pattern")))
+    for g in all_groups:
+        cols.append((g, F.col(tmp).getField(g)))
+        updates[g] = T.StringType()
+    cols.append((tmp, None))
+    return CompiledParser(columns=cols, schema_updates=updates)
 
 
 # ---------------------------------------------------------------------------

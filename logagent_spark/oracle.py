@@ -70,6 +70,15 @@ def parse_row(spec: ParserSpec, msg: Row) -> None:
             for name, idx in re.compile(spec.regex).groupindex.items():
                 g = mt.group(idx)
                 msg[name] = g if g is not None else ""  # non-participating -> ""
+    elif spec.mode == "grok":
+        for name, pat in spec.patterns.items():
+            mt = re.search(pat, m)
+            if mt:
+                msg["grok_pattern"] = name
+                for g, gi in re.compile(pat).groupindex.items():
+                    v = mt.group(gi)
+                    msg[g] = v if v is not None else ""
+                break
     elif spec.mode == "jsonify":
         try:
             obj = _loads_go(m)

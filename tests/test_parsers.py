@@ -129,3 +129,35 @@ def test_jsonify_parse_and_drop(spark):
         if w["_reason"] is None:
             for c in ("level", "k", "body"):
                 assert g.get(c) == w.get(c), (g, w)
+
+
+GROK_PATTERNS = {
+    "waf": r"^(?P<ts>.*?) - (?P<levelname>.*?) - (?P<body>.*?)$",
+    "kv": r"^k=(?P<k>\w+) v=(?P<v>\w+)$",
+    "num": r"^(?P<num>\d+)$",
+}
+GROK_MESSAGES = [
+    "2020-08-19 22:11:59,515 - ERROR - No matched file",
+    "k=alpha v=beta",
+    "12345",
+    "matches nothing at all",
+    "k=x v=y - but - waf wins",   # dictionary ORDER decides: waf first
+    None,
+]
+
+
+def test_grok_dictionary_first_match_wins(spark):
+    from logagent_spark.config import ParserSpec
+
+    parser = ParserSpec(mode="grok", patterns=GROK_PATTERNS)
+    got = _run(spark, parser, GROK_MESSAGES)
+    want = _oracle(parser, GROK_MESSAGES)
+    cols = ["grok_pattern", "ts", "levelname", "body", "k", "v", "num"]
+    for g, w in zip(got, want):
+        for c in cols:
+            assert g.get(c) == w.get(c), (c, g, w)
+    assert got[0]["grok_pattern"] == "waf"
+    assert got[1]["grok_pattern"] == "kv" and got[1]["k"] == "alpha"
+    assert got[2]["num"] == "12345"
+    assert got[3]["grok_pattern"] is None
+    assert got[4]["grok_pattern"] == "waf"
