@@ -187,17 +187,7 @@ class CompiledPipeline:
     # ------------------------------------------------------------------
     # stage 2: router / fan-out
     # ------------------------------------------------------------------
-    def routed(
-        self, result: TransformResult, keep: list[str] | None = None
-    ) -> DataFrame:
-        """Multiplex fan-out: one row per (surviving row × matching sink).
-
-        Output columns: ``sink`` (string), ``rendered`` (template output for
-        text sinks, NULL for table sinks), plus all data columns (table
-        sinks project their configured subset at write time).
-        """
-        clean = result.frame.filter(F.col(DROP_COL).isNull()).drop(DROP_COL)
-        schema = result.schema
+    def _sink_structs(self, schema: Schema) -> Column:
         structs = []
         for i, h in enumerate(self.spec.handlers):
             gate = compile_gate(h.validators, schema)
@@ -214,10 +204,35 @@ class CompiledPipeline:
             )
         if not structs:
             raise ValueError("pipeline has no handlers")
-        matches = F.filter(F.array(*structs), lambda s: s["_ok"])
+        return F.filter(F.array(*structs), lambda s: s["_ok"])
+
+    def _exploded(
+        self,
+        result: TransformResult,
+        keep: list[str] | None,
+        include_dead: bool,
+    ) -> DataFrame:
+        """ONE scan for routing and (optionally) the dead-letter log: a
+        dropped row contributes a single `_dead_letter` struct carrying
+        its reason, a surviving row its matching-sink structs. A
+        filter+union formulation would scan the source twice — at 100 TB
+        that is a 2× input read for zero benefit."""
+        schema = result.schema
+        matches = self._sink_structs(schema)
+        if include_dead:
+            dead_struct = F.struct(
+                F.lit(DEAD_SINK).alias(SINK_COL),
+                F.lit(True).alias("_ok"),
+                F.col(DROP_COL).alias(RENDERED_COL),
+            )
+            arr = F.when(
+                F.col(DROP_COL).isNotNull(), F.array(dead_struct)
+            ).otherwise(matches)
+        else:
+            arr = F.when(F.col(DROP_COL).isNull(), matches)
         cols = keep if keep is not None else list(schema)
-        out = (
-            clean.withColumn("_sinks", matches)
+        return (
+            result.frame.withColumn("_sinks", arr)
             .select(*cols, F.explode("_sinks").alias("_s"))
             .select(
                 F.col(f"_s.{SINK_COL}").alias(SINK_COL),
@@ -225,7 +240,17 @@ class CompiledPipeline:
                 *cols,
             )
         )
-        return out
+
+    def routed(
+        self, result: TransformResult, keep: list[str] | None = None
+    ) -> DataFrame:
+        """Multiplex fan-out: one row per (surviving row × matching sink).
+
+        Output columns: ``sink`` (string), ``rendered`` (template output for
+        text sinks, NULL for table sinks), plus all data columns (table
+        sinks project their configured subset at write time).
+        """
+        return self._exploded(result, keep, include_dead=False)
 
     def multiplexed(
         self, result: TransformResult, keep: list[str] | None = None
@@ -236,14 +261,7 @@ class CompiledPipeline:
         log (the reference logs failed rows, task.go:104-111), and one
         ``observe`` on this frame yields every counter without a second
         scan."""
-        routed = self.routed(result, keep)
-        cols = keep if keep is not None else list(result.schema)
-        dead = result.frame.filter(F.col(DROP_COL).isNotNull()).select(
-            F.lit(DEAD_SINK).alias(SINK_COL),
-            F.col(DROP_COL).alias(RENDERED_COL),
-            *cols,
-        )
-        return routed.unionByName(dead)
+        return self._exploded(result, keep, include_dead=True)
 
     def sink_names(self) -> list[str]:
         return [h.sink_name(i) for i, h in enumerate(self.spec.handlers)]

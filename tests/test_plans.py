@@ -74,7 +74,9 @@ def test_fanout_is_shuffle_free(spark, pages_path):
     res = pipe.transform(from_pages(spark.read.parquet(pages_path)))
     out = pipe.multiplexed(res, keep=["url", "lang", "warc_ts"])
     plan = _plan(out)
-    assert "Exchange" not in plan, plan  # scan -> project -> explode -> union
+    assert "Exchange" not in plan, plan  # scan -> project -> explode
+    # dead-letter accounting must NOT cost a second input scan
+    assert plan.count("Scan parquet") == 1, plan
 
 
 def test_native_parse_is_jvm_only(spark, pages_path):
