@@ -96,6 +96,39 @@ FROM events
 """
 
 
+def q_parse_grok_dict(spark, sf_dir):
+    """Grok dictionary over events: json-ish lines hit the `kv` pattern,
+    others fall through to `word`; first match wins (ordered)."""
+    spec = PipelineSpec.from_dict({
+        "Parser": {"Mode": "grok", "Patterns": {
+            "kv": r'"k": (?P<kval>\d+)',
+            "word": r"^(?P<w>[a-z]+)",
+        }},
+    })
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "message", F.concat(F.col("event_type"), F.lit(" "), F.col("props"))
+    )
+    res = CompiledPipeline(spec).transform(ev)
+    return res.frame.select("event_id", "grok_pattern", "kval", "w")
+
+
+SQL_PARSE_GROK_DICT = r"""
+WITH m AS (
+  SELECT event_id, event_type || ' ' || props AS message FROM events
+)
+SELECT event_id,
+       CASE WHEN regexp_matches(message, '"k": (\d+)') THEN 'kv'
+            WHEN regexp_matches(message, '^([a-z]+)') THEN 'word'
+       END AS grok_pattern,
+       CASE WHEN regexp_matches(message, '"k": (\d+)')
+            THEN regexp_extract(message, '"k": (\d+)', 1) END AS kval,
+       CASE WHEN NOT regexp_matches(message, '"k": (\d+)')
+             AND regexp_matches(message, '^([a-z]+)')
+            THEN regexp_extract(message, '^([a-z]+)', 1) END AS w
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # §2.4 validators
 
@@ -514,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_regex": q_parse_regex,
         "parse_csv": q_parse_csv,
         "parse_json": q_parse_json,
+        "parse_grok_dict": q_parse_grok_dict,
         "validate_filter": q_validate_filter,
         "rewrite_enrich": q_rewrite_enrich,
         "rewrite_lookup_join": q_rewrite_lookup_join,
@@ -540,6 +574,7 @@ def oracle_sql() -> dict[str, str]:
         "parse_regex": SQL_PARSE_REGEX,
         "parse_csv": SQL_PARSE_CSV,
         "parse_json": SQL_PARSE_JSON,
+        "parse_grok_dict": SQL_PARSE_GROK_DICT,
         "validate_filter": SQL_VALIDATE_FILTER,
         "rewrite_enrich": SQL_REWRITE_ENRICH,
         "rewrite_lookup_join": SQL_REWRITE_LOOKUP,
