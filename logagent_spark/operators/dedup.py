@@ -110,13 +110,18 @@ def minhash_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    max_bucket_size: int = 4096,
 ) -> DataFrame:
     """LSH banding -> candidate near-duplicate pairs (a < b).
 
     Shuffle cost: bands rows per doc of (band_id, band_hash, id) — the
     banded hash is uniform, so no skew; the self-join never happens
     (pairs are built by collecting ids per bucket, and buckets are tiny
-    by construction)."""
+    by construction). `max_bucket_size` guards the degenerate buckets a
+    real corpus produces (every empty/boilerplate doc shares one
+    signature and would emit O(n^2) pairs): oversized buckets are
+    exact-duplicate clusters in disguise — handle them with
+    `exact_duplicates`, not pairwise Jaccard."""
     rows_per_band = num_hashes // bands
     sig = minhash_signature(F.col(text_col), num_hashes, shingle_k)
     banded = df.select(F.col(id_col).alias("_id"), sig.alias("_sig")).select(
@@ -139,7 +144,9 @@ def minhash_candidates(
 
     buckets = banded.groupBy("band", "bucket").agg(
         F.sort_array(F.collect_list("_id")).alias("ids")
-    ).filter(F.size("ids") > 1)
+    ).filter(
+        (F.size("ids") > 1) & (F.size("ids") <= max_bucket_size)
+    )
 
     # pairs within each bucket, deduped across bands
     pairs = buckets.select(
@@ -166,11 +173,28 @@ def jaccard_pairs(
     shingle_k: int = 5,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs -> (a, b, jaccard).
-    Joins shingle SETS only for candidates — the expensive comparison
-    runs on the (tiny) candidate set, not the corpus."""
-    sets_df = df.select(
-        F.col(id_col).alias("_jid"),
-        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("_set"),
+
+    The corpus is first semi-joined down to ids that appear in a
+    candidate pair, THEN shingle sets are materialized: a projection
+    below the pair-join would compute the (large) shingle arrays for
+    every corpus row, matching or not. Candidate ids are broadcast —
+    they are tiny by LSH construction; at extreme candidate volumes
+    drop the hint and AQE picks a shuffle semi-join."""
+    cand_ids = (
+        pairs.select(F.col("a").alias("_jid"))
+        .union(pairs.select(F.col("b").alias("_jid")))
+        .distinct()
+    )
+    sets_df = (
+        df.join(
+            F.broadcast(cand_ids),
+            F.col(id_col) == F.col("_jid"),
+            "left_semi",
+        )
+        .select(
+            F.col(id_col).alias("_jid"),
+            F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("_set"),
+        )
     )
     a_sets = sets_df.withColumnRenamed("_jid", "a").withColumnRenamed("_set", "_sa")
     b_sets = sets_df.withColumnRenamed("_jid", "b").withColumnRenamed("_set", "_sb")
@@ -192,12 +216,14 @@ def minhash_near_duplicates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    max_bucket_size: int = 4096,
 ) -> DataFrame:
     """Full pipeline: LSH candidates -> exact Jaccard -> thresholded
     near-dup pairs (a, b, jaccard)."""
     cands = minhash_candidates(
         df, id_col, text_col,
         num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        max_bucket_size=max_bucket_size,
     )
     return jaccard_pairs(df, cands, id_col, text_col, shingle_k).filter(
         F.col("jaccard") >= threshold
@@ -249,11 +275,13 @@ def with_simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> Data
 
 
 def simhash_near_duplicates(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    max_bucket_size: int = 4096,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: pigeonhole banding on 4×16-bit chunks
     (hamming<=3 over 64 bits => at least one chunk identical), then exact
-    hamming check within buckets."""
+    hamming check within buckets. Oversized buckets (identical-signature
+    boilerplate clusters) are capped — see `minhash_candidates`."""
     sh = with_simhash(df, text_col).select(
         F.col(id_col).alias("_id"), F.col("simhash")
     )
@@ -271,7 +299,9 @@ def simhash_near_duplicates(
         F.sort_array(
             F.collect_list(F.struct(F.col("_id").alias("id"), F.col("simhash").alias("sh")))
         ).alias("items")
-    ).filter(F.size("items") > 1)
+    ).filter(
+        (F.size("items") > 1) & (F.size("items") <= max_bucket_size)
+    )
     pairs = buckets.select(
         F.explode(
             F.flatten(
@@ -339,6 +369,7 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 42,
+    max_bucket_size: int = 4096,
 ) -> DataFrame:
     """Near-dup embedding pairs: bucket by hyperplane signs, exact cosine
     within buckets. (Single-probe LSH: pairs straddling a hyperplane are
@@ -353,7 +384,9 @@ def embedding_near_duplicates(
         F.sort_array(
             F.collect_list(F.struct(F.col("_id").alias("id"), F.col("_emb").alias("e")))
         ).alias("items")
-    ).filter(F.size("items") > 1)
+    ).filter(
+        (F.size("items") > 1) & (F.size("items") <= max_bucket_size)
+    )
     pairs = buckets.select(
         F.explode(
             F.flatten(

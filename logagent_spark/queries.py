@@ -530,6 +530,20 @@ def q_ann_ivf_topk(spark, sf_dir):
     return sim.ivf_topk(indexed, "embedding", q, cents, k=10, nprobe=4)
 
 
+def q_rate_limit_admit(spark, sf_dir):
+    """Leaky-bucket rate limit (reference tail/ratelimiter) keyed by
+    event_type, batch twin of the stateful streaming operator. Iterative
+    per-key simulation — not SQL-expressible, rows-only check."""
+    from logagent_spark.streaming.ratelimit import rate_limited_batch
+
+    ev = _t(spark, sf_dir, "events")
+    out = rate_limited_batch(
+        ev, "event_type", "ts", size=5, leak_interval_s=3600.0,
+        payload_cols=["event_id"],
+    )
+    return out.select("event_id", "event_type", "admitted")
+
+
 def q_embedding_near_dup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -566,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "rate_limit_admit": q_rate_limit_admit,
     }
 
 

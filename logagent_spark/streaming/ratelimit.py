@@ -1,0 +1,164 @@
+"""Leaky-bucket rate limiting as a custom stateful streaming operator.
+
+The reference ships a leaky bucket on its tail collector
+(/root/reference/tail/ratelimiter/leakybucket.go:8-53, wired at
+tail/tail.go:266-284): fill leaks continuously at one unit per
+``LeakInterval``; ``Pour`` rejects a message when ``fill + amount``
+would exceed ``Size`` — and rejection still advances ``Lastupdate``
+(leakybucket.go:28-39 update unconditionally). SURVEY.md §2.6 parked it
+as an ingestion concern; this module implements it properly for the
+distributed engine, in event time:
+
+  * streaming: ``applyInPandasWithState`` keyed by host — state is one
+    ``(fill, last_event_us)`` pair per key, carried across micro-batches
+    exactly where the reference carries it across ``Pour`` calls. The
+    shuffle is the groupBy on the key; state volume is O(distinct keys),
+    independent of throughput — this scales to 10^12 rows because state
+    never holds rows, only two numbers per host;
+  * batch: the same simulation under plain ``applyInPandas`` (the whole
+    history of a key is present, so no engine state is needed);
+  * the simulation core is pure Python over numpy arrays and doubles as
+    the test oracle — streaming, batch, and oracle share one function,
+    so they cannot drift.
+
+Rows are processed in event-time order within a key (the reference
+processes in arrival order; event time is the deterministic analog —
+SURVEY.md §2.7 late-data note). Rejected rows are flagged, not silently
+dropped, so drop accounting can ride the usual counters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["simulate_bucket", "rate_limited", "rate_limited_batch"]
+
+
+def simulate_bucket(
+    ts_seconds,
+    size: float,
+    leak_interval_s: float,
+    fill: float = 0.0,
+    last_ts: float | None = None,
+) -> tuple[np.ndarray, float, float]:
+    """Pour one unit per event (event-time ordered). Mirrors Go
+    leakybucket.go exactly: leak only while fill > 0; Lastupdate
+    advances on every pour, admitted or not; `newfill > size` rejects.
+    Returns (admitted bool array, final fill, final last_ts)."""
+    ts = np.asarray(ts_seconds, dtype=np.float64)
+    admitted = np.empty(len(ts), dtype=bool)
+    if last_ts is None:
+        last_ts = ts[0] if len(ts) else 0.0
+    for i, t in enumerate(ts):
+        if fill > 0:
+            fill -= (t - last_ts) / leak_interval_s
+            if fill < 0:
+                fill = 0.0
+        last_ts = t
+        if fill + 1.0 > size:
+            admitted[i] = False
+        else:
+            fill += 1.0
+            admitted[i] = True
+    return admitted, fill, float(last_ts)
+
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("fill", T.DoubleType()),
+    T.StructField("last_us", T.LongType()),
+])
+
+
+def _out_schema(df: DataFrame, cols: list[str]) -> T.StructType:
+    by_name = {f.name: f for f in df.schema.fields}
+    return T.StructType(
+        [by_name[c] for c in cols]
+        + [T.StructField("admitted", T.BooleanType(), False)]
+    )
+
+
+def _ts_us(series: pd.Series) -> np.ndarray:
+    return series.astype("datetime64[us]").astype("int64").to_numpy()
+
+
+def rate_limited(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    size: float,
+    leak_interval_s: float,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming leaky bucket per key. Input must be a streaming
+    DataFrame; output appends every row with an `admitted` flag (filter
+    on it to reproduce the reference's drop)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    cols = [key_col, ts_col, *(payload_cols or [])]
+    out_schema = _out_schema(df, cols)
+
+    def func(key, pdf_iter, state):
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values(ts_col, kind="stable", ignore_index=True)
+        us = _ts_us(pdf[ts_col])
+        if state.exists:
+            fill, last_us = state.get
+            last_ts = last_us / 1e6
+        else:
+            fill, last_ts = 0.0, None
+        admitted, fill, last_ts = simulate_bucket(
+            us / 1e6, size, leak_interval_s, fill, last_ts
+        )
+        state.update((float(fill), int(last_ts * 1e6)))
+        out = pdf[cols].copy()
+        out["admitted"] = admitted
+        yield out
+
+    return (
+        df.select(*cols)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            func, out_schema, _STATE_SCHEMA, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def rate_limited_batch(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    size: float,
+    leak_interval_s: float,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Batch twin: a key's full history is in its group, so the same
+    simulation runs statelessly under applyInPandas. One shuffle on the
+    key; per-group work is linear and the state is two scalars."""
+    cols = [key_col, ts_col, *(payload_cols or [])]
+    out_schema = _out_schema(df, cols)
+
+    def func(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="stable", ignore_index=True)
+        us = _ts_us(pdf[ts_col])
+        admitted, _, _ = simulate_bucket(us / 1e6, size, leak_interval_s)
+        out = pdf[cols].copy()
+        out["admitted"] = admitted
+        return out
+
+    return df.select(*cols).groupBy(key_col).applyInPandas(func, out_schema)
+
+
+def admitted_counts(limited: DataFrame, key_col: str) -> DataFrame:
+    """Per-key admit/reject accounting (the reference logs overflow as a
+    cooloff event, tail/tail.go:403-426)."""
+    return limited.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("admitted").cast("long")).alias("n_admitted"),
+    )

@@ -146,3 +146,26 @@ def test_embedding_near_duplicates(spark):
     assert (2, 6) in pairs
     for r in got:
         assert r["cos"] >= 0.95
+
+
+def test_minhash_bucket_cap_drops_degenerate_cluster(spark):
+    """A pile of identical docs shares one signature in every band — a
+    degenerate bucket that would emit O(n^2) pairs at corpus scale. The
+    cap drops such buckets (they belong to exact dedup); distinct docs
+    below the cap are unaffected."""
+    docs = [(i, BASE[0]) for i in range(10)]
+    docs += [(100, BASE[1]), (101, BASE[1] + " quickly")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    capped = dedup.minhash_near_duplicates(
+        df, "doc_id", "text", threshold=0.5, num_hashes=32, bands=8,
+        max_bucket_size=5,
+    ).collect()
+    pairs = {(r["a"], r["b"]) for r in capped}
+    assert (100, 101) in pairs  # genuine near-dup survives
+    assert all(a >= 100 for a, _ in pairs)  # identical cluster suppressed
+
+    uncapped = dedup.minhash_near_duplicates(
+        df, "doc_id", "text", threshold=0.5, num_hashes=32, bands=8,
+    ).collect()
+    assert {(r["a"], r["b"]) for r in uncapped} >= {(0, 1), (8, 9), (100, 101)}
