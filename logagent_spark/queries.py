@@ -379,6 +379,23 @@ FROM documents
 """
 
 
+def q_dedup_exact_keep(spark, sf_dir):
+    """Exact dedup winners: smallest doc_id per normalized content hash
+    (min-by aggregation + left-semi join — one shuffle on the uniform
+    hash, no window sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.dedup_exact(docs, "doc_id", "text").select("doc_id", "lang")
+
+
+SQL_DEDUP_EXACT_KEEP = r"""
+SELECT doc_id, lang FROM documents
+WHERE doc_id IN (
+  SELECT min(doc_id) FROM documents
+  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+)
+"""
+
+
 def q_text_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     c = F.col("text")
@@ -572,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_render": q_template_render,
         "syslog_decode": q_syslog_decode,
         "dedup_exact_stats": q_dedup_exact_stats,
+        "dedup_exact_keep": q_dedup_exact_keep,
         "text_stats": q_text_stats,
         "fingerprint_minshingle": q_fingerprint_minshingle,
         "quality_filter": q_quality_filter,
@@ -600,6 +618,7 @@ def oracle_sql() -> dict[str, str]:
         "template_render": SQL_TEMPLATE_RENDER,
         "syslog_decode": SQL_SYSLOG_DECODE,
         "dedup_exact_stats": SQL_DEDUP_EXACT,
+        "dedup_exact_keep": SQL_DEDUP_EXACT_KEEP,
         "text_stats": SQL_TEXT_STATS,
         "fingerprint_minshingle": SQL_FINGERPRINT_MINSHINGLE,
         "quality_filter": SQL_QUALITY_FILTER,
