@@ -153,8 +153,15 @@ class CompiledPipeline:
 
         spark = df.sparkSession
         if "table" in lk:
+            # dedupe driver-side: a dropDuplicates here would put a
+            # Sort+Exchange+SortAggregate sub-job under the broadcast
+            # build of EVERY plan (and every streaming micro-batch) to
+            # deduplicate a config literal
+            seen: dict[Any, dict] = {}
+            for row in lk["table"]:
+                seen.setdefault(row[key], row)
             lookup_df = spark.createDataFrame(
-                lk["table"],
+                list(seen.values()),
                 schema=T.StructType(
                     [T.StructField(key, schema.get(key, T.StringType()), True)]
                     + [
@@ -162,14 +169,15 @@ class CompiledPipeline:
                         for c, t in out_cols.items()
                     ]
                 ),
-            )
-        elif "frame" in lk:
-            lookup_df = self.lookup_frames[lk["frame"]]
+            ).select(key, *[c for c in out_cols])
         else:
-            lookup_df = spark.read.parquet(lk["path"])
-        lookup_df = lookup_df.select(
-            key, *[c for c in out_cols]
-        ).dropDuplicates([key])
+            if "frame" in lk:
+                lookup_df = self.lookup_frames[lk["frame"]]
+            else:
+                lookup_df = spark.read.parquet(lk["path"])
+            lookup_df = lookup_df.select(
+                key, *[c for c in out_cols]
+            ).dropDuplicates([key])
 
         joined = df.join(F.broadcast(lookup_df), on=key, how="left")
         miss = None

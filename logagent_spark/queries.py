@@ -319,6 +319,23 @@ FROM routed GROUP BY 1, 2, 3
 """
 
 
+def q_agg_distinct_salted(spark, sf_dir):
+    """Skew-robust countDistinct: event_type is low-cardinality (each
+    key is hot), so phase 1 shuffles on (key, hash(user) % buckets) and
+    phase 2 sums exact disjoint partials — no single reducer ever holds
+    a hot key's full distinct state."""
+    from logagent_spark.plans.skew import count_distinct_salted
+
+    ev = _t(spark, sf_dir, "events")
+    return count_distinct_salted(ev, ["event_type"], "user_id")
+
+
+SQL_AGG_DISTINCT_SALTED = """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY event_type
+"""
+
+
 def q_template_render(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     schema = {f.name: f.dataType for f in docs.schema.fields}
@@ -586,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_rendered": q_route_rendered,
         "route_dead_letter": q_route_dead_letter,
         "agg_sink_counts": q_agg_sink_counts,
+        "agg_distinct_salted": q_agg_distinct_salted,
         "template_render": q_template_render,
         "syslog_decode": q_syslog_decode,
         "dedup_exact_stats": q_dedup_exact_stats,
@@ -615,6 +633,7 @@ def oracle_sql() -> dict[str, str]:
         "route_rendered": SQL_ROUTE_RENDERED,
         "route_dead_letter": SQL_ROUTE_DEAD_LETTER,
         "agg_sink_counts": SQL_AGG_SINK_COUNTS,
+        "agg_distinct_salted": SQL_AGG_DISTINCT_SALTED,
         "template_render": SQL_TEMPLATE_RENDER,
         "syslog_decode": SQL_SYSLOG_DECODE,
         "dedup_exact_stats": SQL_DEDUP_EXACT,
