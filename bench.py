@@ -241,7 +241,7 @@ def operator_queries(spark) -> dict:
     picks = [
         "route_fanout_counts", "agg_sink_counts", "text_stats",
         "dedup_exact_stats", "fingerprint_minshingle",
-        "dedup_minhash_pairs", "similarity_topk",
+        "dedup_minhash_pairs", "similarity_topk", "rate_limit_admit",
     ]
     out = {}
     fns = q.queries()

@@ -121,3 +121,30 @@ def test_lookup_broadcast_enrich(spark):
     _assert_parity(got, want, ["lang", "lang_name", "geo"])
     assert got[2][DROP_COL] == "lookup_miss:lang"
     assert got[3][DROP_COL] is None  # null key passes with null outputs
+
+
+def test_command_rewrite(spark):
+    """Reference runs the bare binary per row and stores raw stdout
+    (task.go:336-351); our batch engine executes it once at compile time
+    — deterministic commands give identical columns (documented
+    divergence, SURVEY.md §2.3). `/bin/echo` with no args emits "\\n"."""
+    spec = PipelineSpec(rewrites=[
+        RewriteSpec(mode="command", column="out", command="/bin/echo"),
+    ])
+    got, want = _run_both(spark, spec)
+    _assert_parity(got, want, ["out"])
+    assert all(r["out"] == "\n" for r in got.values())
+
+
+def test_command_rewrite_failure_is_config_fatal(spark):
+    """A failing command errors at compile time (the reference drops
+    every row and logs per message — compile-fatal is the batch
+    equivalent of a 100% drop)."""
+    import pytest as _pytest
+
+    spec = PipelineSpec(rewrites=[
+        RewriteSpec(mode="command", column="out", command="/bin/false"),
+    ])
+    df = spark.createDataFrame(ROWS, schema=SCHEMA)
+    with _pytest.raises(Exception):
+        CompiledPipeline(spec).transform(df)
