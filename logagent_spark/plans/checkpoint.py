@@ -128,7 +128,9 @@ class CheckpointedRunner:
         reports: list[ChunkReport] = []
         done = 0
         for cid, chunk_files in enumerate(chunks):
-            if cid in committed:
+            if cid in committed and self._manifest_valid(
+                committed[cid], chunk_files
+            ):
                 m = committed[cid]
                 reports.append(ChunkReport(
                     chunk_id=cid, files=m["files"], rows_in=m["rows_in"],
@@ -142,6 +144,23 @@ class CheckpointedRunner:
             reports.append(self._run_chunk(spark, cid, chunk_files))
             done += 1
         return reports
+
+    @staticmethod
+    def _manifest_valid(manifest: dict, chunk_files: list[str]) -> bool:
+        """A committed chunk is only skippable if its lineage still
+        matches reality: same file set, same byte sizes. Otherwise the
+        input changed under us (new files shift the round-robin chunking;
+        a rewritten file changes bytes) and the chunk re-runs — skipping
+        on id alone would silently serve stale output."""
+        if manifest.get("files") != chunk_files:
+            return False
+        for fp in manifest.get("fingerprint", []):
+            try:
+                if os.path.getsize(fp["path"]) != fp["bytes"]:
+                    return False
+            except OSError:
+                return False
+        return True
 
     def _run_chunk(
         self, spark: SparkSession, cid: int, files: list[str]

@@ -126,3 +126,45 @@ def test_observe_counters_match_data(spark, input_dir, tmp_path):
     for name, n in totals["sink_counts"].items():
         assert got.get(name, 0) == n
     assert got.get(DEAD_SINK, 0) == sum(totals["drop_counts"].values())
+
+
+def test_changed_input_invalidates_committed_chunk(spark, tmp_path):
+    """Lineage check on resume: a committed chunk whose input file
+    changed size re-runs instead of being skipped with stale output;
+    untouched chunks still resume."""
+    pipe = CompiledPipeline(PipelineSpec.from_dict(SPEC))
+    pages = str(tmp_path / "pages")
+    write_pages(spark, pages, 1000, seed=19, n_hosts=20, partitions=4)
+
+    runner = _runner(pipe, str(tmp_path / "out"))
+    first = runner.run(spark, pages)
+    assert not any(r.resumed for r in first)
+
+    # rewrite one data file in place (same name, different content size)
+    victim = sorted(glob.glob(os.path.join(pages, "*.parquet")))[0]
+    chunk_of_victim = next(
+        r.chunk_id for r in first if victim in r.files
+    )
+    df = spark.read.parquet(victim).limit(100).cache()
+    df.count()
+    tmp_out = str(tmp_path / "rewrite")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+    part = glob.glob(os.path.join(tmp_out, "part-*.parquet"))[0]
+    os.replace(part, victim)
+    crc = os.path.join(
+        os.path.dirname(victim), f".{os.path.basename(victim)}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)  # stale Hadoop checksum sidecar for the old bytes
+    # a real resume is a fresh session; here the same session must not
+    # serve stale cached footers for the replaced file
+    df.unpersist()
+    spark.catalog.clearCache()
+
+    second = runner.run(spark, pages)
+    by_id = {r.chunk_id: r for r in second}
+    assert not by_id[chunk_of_victim].resumed      # stale chunk re-ran
+    assert by_id[chunk_of_victim].rows_in < first[chunk_of_victim].rows_in
+    for cid, r in by_id.items():
+        if cid != chunk_of_victim:
+            assert r.resumed                        # others untouched

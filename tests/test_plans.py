@@ -156,3 +156,15 @@ def test_top_hosts_diagnostic(spark, pages_path):
     assert len(top) == 5
     assert top[0]["n"] >= top[-1]["n"]
     assert top[0]["host"].endswith(".example.org")
+
+
+def test_inline_lookup_builds_without_shuffle(spark, pages_path):
+    """An inline lookup literal is deduplicated driver-side: the plan's
+    ONLY Exchange is the broadcast build itself — no Sort/Exchange/
+    SortAggregate sub-job under it (that would run per plan and per
+    streaming micro-batch just to dedupe a config constant)."""
+    pipe = CompiledPipeline(PipelineSpec.from_dict(LOOKUP_SPEC))
+    res = pipe.transform(from_pages(spark.read.parquet(pages_path)))
+    phys = res.frame._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange") == phys.count("BroadcastExchange"), phys
+    assert "SortAggregate" not in phys, phys

@@ -118,3 +118,33 @@ def test_streaming_state_persists_across_triggers(spark, events, tmp_path):
     # sanity: the split boundary actually cut host a.com's burst in two,
     # so equality proves fill survived the trigger boundary
     assert any(not adm for adm in batch_rows.values())
+
+
+# ---------------------------------------------------------------------------
+# property tests (pure python — no Spark session)
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        ts=st.lists(
+            st.floats(min_value=0, max_value=1e6,
+                      allow_nan=False, allow_infinity=False),
+            min_size=1, max_size=200,
+        ).map(sorted),
+        size=st.integers(min_value=1, max_value=10),
+        leak=st.floats(min_value=0.1, max_value=1e4),
+    )
+    def test_simulate_bucket_invariants(ts, size, leak):
+        adm, fill, last = simulate_bucket(ts, size, leak)
+        assert 0.0 <= fill <= size + 1e-9          # fill stays in [0, size]
+        assert last == ts[-1]                       # clock tracks every pour
+        assert bool(adm[0])                         # empty bucket admits
+        # conservation: admits = final fill + total leaked, and leaked
+        # is at most elapsed/leak_interval
+        elapsed = ts[-1] - ts[0]
+        assert adm.sum() <= size + elapsed / leak + 1e-6
+except ImportError:  # pragma: no cover
+    pass
