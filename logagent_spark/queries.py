@@ -539,6 +539,37 @@ ORDER BY cos_ppm DESC, vec_id LIMIT 10
 """
 
 
+def q_embedding_near_dup_exact(spark, sf_dir):
+    """Brute-force embedding near-dup pairs — the exact baseline the
+    hyperplane-LSH path (embedding_near_dup) approximates. All-pairs is
+    O(n^2): correct as an oracle-checked baseline at test scale; the
+    scale path is the LSH bucketing."""
+    from logagent_spark.operators.dedup import cosine
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("_ea"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("_eb"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    return pairs.select(
+        "a", "b",
+        _ppm(cosine(F.col("_ea"), F.col("_eb"))).alias("cos_ppm"),
+    ).filter(F.col("cos_ppm") >= 400000)
+
+
+SQL_EMBEDDING_NEAR_DUP_EXACT = """
+WITH p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         CAST(floor(list_cosine_similarity(
+             a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000000) AS BIGINT)
+           AS cos_ppm
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT a, b, cos_ppm FROM p WHERE cos_ppm >= 400000
+"""
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible ops (rows-only driver check)
 
@@ -612,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_minshingle": q_fingerprint_minshingle,
         "quality_filter": q_quality_filter,
         "similarity_topk": q_similarity_topk,
+        "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash": q_dedup_simhash,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -642,6 +674,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_minshingle": SQL_FINGERPRINT_MINSHINGLE,
         "quality_filter": SQL_QUALITY_FILTER,
         "similarity_topk": SQL_SIMILARITY_TOPK,
+        "embedding_near_dup_exact": SQL_EMBEDDING_NEAR_DUP_EXACT,
         # dedup_minhash_pairs / dedup_simhash / ann_ivf_topk /
         # embedding_near_dup: no SQL equivalent (LSH banding, FNV simhash,
         # seeded centroids) -> rows-only check
