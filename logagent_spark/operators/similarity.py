@@ -65,20 +65,23 @@ def seeded_centroids(dim: int, n_centroids: int, seed: int = 42) -> np.ndarray:
 def centroid_assignment(
     emb: Column, centroids: np.ndarray
 ) -> Column:
-    """argmax over centroid dot products, as a Column expression."""
-    dots = [
+    """argmax over centroid dot products, as a Column expression.
+
+    The dots land in ONE array literal and the argmax is
+    array_position(arr, array_max(arr)): each dot is evaluated exactly
+    once per row. (A greatest(...) + when-chain formulation re-emits
+    every dot expression 2-3x — Catalyst's subexpression elimination
+    does not reach inside higher-order-function lambdas.) Ties resolve
+    to the lowest centroid index, first-occurrence semantics."""
+    dots = F.array(*[
         F.aggregate(
             F.zip_with(emb, lit_vec(c), lambda a, b: a * b),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
         for c in centroids
-    ]
-    best = F.greatest(*dots) if len(dots) > 1 else dots[0]
-    expr = F.lit(-1)
-    for i in reversed(range(len(dots))):
-        expr = F.when(dots[i] == best, F.lit(i)).otherwise(expr)
-    return expr
+    ])
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
 def ivf_index(
