@@ -39,9 +39,17 @@ def start_streaming_pipeline(
     source_adapter=None,
     keep: list[str] | None = None,
     max_files_per_trigger: int = 8,
+    rate_limit: dict | None = None,
 ):
-    """File-stream -> compiled pipeline -> multiplex sink write.
-    Returns the StreamingQuery (caller: processAllAvailable()/stop())."""
+    """File-stream -> [leaky-bucket source gate] -> compiled pipeline ->
+    multiplex sink write. Returns the StreamingQuery (caller:
+    processAllAvailable()/stop()).
+
+    `rate_limit` = {"key_col", "ts_col", "size", "leak_interval_s"}
+    gates the SOURCE before parsing, exactly where the reference's tail
+    collector pours its bucket (tail/tail.go:266-284): rejected rows
+    never reach the pipeline. The bucket state lives in the streaming
+    state store, keyed per `key_col`."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -49,6 +57,18 @@ def start_streaming_pipeline(
     )
     if source_adapter is not None:
         stream = source_adapter(stream)
+    if rate_limit is not None:
+        from logagent_spark.streaming.ratelimit import rate_limited
+
+        rl = dict(rate_limit)
+        key_col, ts_col = rl.pop("key_col"), rl.pop("ts_col")
+        payload = [c for c in stream.columns if c not in (key_col, ts_col)]
+        stream = (
+            rate_limited(stream, key_col, ts_col,
+                         payload_cols=payload, **rl)
+            .filter(F.col("admitted"))
+            .drop("admitted")
+        )
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         result = pipe.transform(batch_df)

@@ -101,3 +101,44 @@ def test_streaming_windowed_counters(spark, stream_input):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_rate_limited_source_gate(spark, stream_input, tmp_path):
+    """Leaky bucket gating the streaming source (the reference pours on
+    the tail collector before parsing): routed output must equal the
+    batch pipeline applied to exactly the batch-admitted row set."""
+    from logagent_spark.streaming.ratelimit import rate_limited_batch
+
+    pipe = CompiledPipeline(PipelineSpec.from_dict(SPEC))
+    schema = spark.read.parquet(stream_input).schema
+    rl = {"key_col": "lang", "ts_col": "warc_ts",
+          "size": 2, "leak_interval_s": 3600.0}
+
+    q = start_streaming_pipeline(
+        pipe, spark, stream_input, str(tmp_path / "out"),
+        str(tmp_path / "ckpt"), schema=schema, source_adapter=from_pages,
+        keep=["url", "lang"], max_files_per_trigger=6,
+        rate_limit=rl,
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out"))
+
+    src = from_pages(spark.read.parquet(stream_input))
+    admitted = (
+        rate_limited_batch(
+            src, "lang", "warc_ts", size=2, leak_interval_s=3600.0,
+            payload_cols=[c for c in src.columns
+                          if c not in ("lang", "warc_ts")],
+        )
+        .filter(F.col("admitted")).drop("admitted")
+    )
+    res = pipe.transform(admitted)
+    want = pipe.multiplexed(res, keep=["url", "lang"])
+
+    a = sorted((r["sink"], r["url"], r["rendered"]) for r in got.collect())
+    b = sorted((r["sink"], r["url"], r["rendered"]) for r in want.collect())
+    assert a == b and len(a) > 0
+    # the gate actually dropped something (bursty langs overflow size 2)
+    n_src = src.count()
+    n_admitted = admitted.count()
+    assert n_admitted < n_src
