@@ -242,6 +242,7 @@ def operator_queries(spark) -> dict:
         "route_fanout_counts", "agg_sink_counts", "text_stats",
         "dedup_exact_stats", "fingerprint_minshingle",
         "dedup_minhash_pairs", "similarity_topk", "rate_limit_admit",
+        "dedup_exact_keep", "agg_distinct_salted", "embedding_near_dup_exact",
     ]
     out = {}
     fns = q.queries()
