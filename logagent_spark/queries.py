@@ -544,17 +544,32 @@ def q_embedding_near_dup_exact(spark, sf_dir):
     hyperplane-LSH path (embedding_near_dup) approximates. All-pairs is
     O(n^2): correct as an oracle-checked baseline at test scale; the
     scale path is the LSH bucketing."""
-    from logagent_spark.operators.dedup import cosine
-
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("_ea"))
-    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("_eb"))
+    # norms depend on ONE side each: hoist them out of the O(n^2) pair
+    # expression (3 interpreted 64-element folds per pair -> 1). The
+    # arithmetic dot/(na*nb) is unchanged, so floor-ppm stays bitwise
+    # identical to the single-expression form and to DuckDB.
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x * x),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    a = emb.select(F.col("vec_id").alias("a"),
+                   F.col("embedding").alias("_ea"), norm.alias("_na"))
+    b = emb.select(F.col("vec_id").alias("b"),
+                   F.col("embedding").alias("_eb"), norm.alias("_nb"))
     pairs = a.join(b, F.col("a") < F.col("b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_ea"), F.col("_eb"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    cos = F.when(
+        (F.col("_na") > 0) & (F.col("_nb") > 0),
+        dot / (F.col("_na") * F.col("_nb")),
+    ).otherwise(F.lit(0.0))
     return pairs.select(
-        "a", "b",
-        _ppm(cosine(F.col("_ea"), F.col("_eb"))).alias("cos_ppm"),
+        "a", "b", _ppm(cos).alias("cos_ppm")
     ).filter(F.col("cos_ppm") >= 400000)
 
 
