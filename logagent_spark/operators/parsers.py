@@ -44,6 +44,7 @@ from logagent_spark.functions import (
     to_java_regex,
     type_by_name,
 )
+from logagent_spark.functions.grok import expand_grok
 
 Schema = dict[str, T.DataType]
 
@@ -79,10 +80,13 @@ def compile_parser(
         )
 
     if spec.mode == "regex":
-        groups = go_regex_groups(spec.regex)  # name -> idx (validates syntax)
+        # `%{NAME:field}` grok references expand to named groups first
+        # (a pattern without references passes through untouched)
+        pattern = expand_grok(spec.regex)
+        groups = go_regex_groups(pattern)  # name -> idx (validates syntax)
         if regex_strategy == "grok":
-            return _compile_grok(spec.regex, groups)
-        jpat = to_java_regex(spec.regex)
+            return _compile_grok(pattern, groups)
+        jpat = to_java_regex(pattern)
         matched = msg.rlike(jpat)
         cols = [
             (name, F.when(matched, F.regexp_extract(msg, jpat, idx)))
@@ -145,8 +149,11 @@ def _compile_grok_dictionary(patterns: dict[str, str]) -> CompiledParser:
     first matching pattern wins and contributes its named groups; the
     winning pattern's name lands in `grok_pattern`. One vectorized
     pandas UDF evaluates the whole dictionary per Arrow batch — each
-    pattern runs only on the rows no earlier pattern matched."""
-    compiled = {name: re.compile(p) for name, p in patterns.items()}
+    pattern runs only on the rows no earlier pattern matched.
+    `%{NAME:field}` grok references expand before compilation."""
+    compiled = {
+        name: re.compile(expand_grok(p)) for name, p in patterns.items()
+    }
     all_groups: list[str] = []
     for name, cre in compiled.items():
         for g in cre.groupindex:
