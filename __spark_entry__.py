@@ -5,8 +5,10 @@ entry(spark)  — flagship pipeline on sf0.001: regex-parse documents,
                 return per-(sink, lang) counts.
 queries()     — one entry per implemented operator (SURVEY.md §2 +
                 training-data suite), each (spark, sf_dir) -> DataFrame.
-oracle_sql()  — DuckDB-equivalent SQL per query (omitted only for the
-                LSH/simhash/ANN ops whose hashing has no SQL analog).
+oracle_sql()  — DuckDB-equivalent SQL for EVERY query: the LSH/simhash/
+                ANN ops hash with md5 / literal planes / literal
+                centroids, so DuckDB reproduces the full pipelines, and
+                the leaky bucket replays as a recursive CTE.
 """
 
 from __future__ import annotations

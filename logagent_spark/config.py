@@ -51,6 +51,11 @@ class ParserSpec:
     types: dict[str, str] = field(default_factory=dict)
     # extension: grok dictionary — ordered named patterns, first match wins
     patterns: dict[str, str] = field(default_factory=dict)
+    # extension: overflow-map column for jsonify — undeclared top-level
+    # keys land here as map<string,string> (the reference merges ALL
+    # keys, task.go:244-250; a schema-first engine needs somewhere
+    # typed to put the dynamic ones). "" disables.
+    attrs: str = ""
 
     def validate(self) -> None:
         if not self.mode:
@@ -210,6 +215,7 @@ class PipelineSpec:
             columns=list(p.get("columns", []) or []),
             types=dict(p.get("types", {}) or {}),
             patterns=dict(p.get("patterns", {}) or {}),
+            attrs=p.get("attrs", "") or "",
         )
         for r in d.get("rewrites", []) or []:
             r = low(r)

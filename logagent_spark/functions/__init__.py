@@ -63,11 +63,18 @@ def go_regex_groups(pattern: str) -> dict[str, int]:
 
 
 def to_java_regex(pattern: str) -> str:
-    """Go/Python named groups `(?P<name>...)` -> Java `(?<name>...)`.
+    """Go/Python named groups `(?P<name>...)` -> plain `(...)` groups.
 
-    java.util.regex rejects the `(?P<` flag; everything else in the
-    RE2-safe subset (no backrefs, no lookaround) parses identically."""
-    return _NAMED_GROUP_RE.sub(r"(?<\1>", pattern)
+    java.util.regex rejects the `(?P<` flag AND rejects underscores in
+    `(?<name>...)` group names (JDK 17 Pattern requires
+    [a-zA-Z][a-zA-Z0-9]*, so `%{IPV4:client_ip}`-style fields would
+    throw at runtime). Spark's regexp_extract is positional and the
+    name->index map is computed Python-side (go_regex_groups), so names
+    carry no information in the JVM pattern: strip them. Stripping does
+    not renumber groups — named groups count like plain ones in both
+    dialects. Everything else in the RE2-safe subset (no backrefs, no
+    lookaround) parses identically."""
+    return _NAMED_GROUP_RE.sub("(", pattern)
 
 
 # ---------------------------------------------------------------------------

@@ -235,39 +235,47 @@ def minhash_near_duplicates(
 
 def simhash_udf(num_bits: int = 64):
     """Vectorized SimHash: per Arrow batch, token hashes vote per bit.
-    Token hashing uses a stable FNV-1a in numpy (no Python hash()
-    randomization), so results are identical across executors/runs."""
+
+    Token hash = little-endian uint64 of md5(token)[:8] — stable across
+    executors/runs (no Python hash() randomization) AND reproducible in
+    SQL engines (DuckDB's ``md5_number_upper``), so the operator has a
+    real cross-engine oracle. The per-row numeric work is numpy over the
+    whole token block; only the md5 digests are a Python loop (hashlib
+    releases the GIL per call)."""
 
     @F.pandas_udf(T.LongType())
     def _simhash(s: pd.Series) -> pd.Series:
         out = np.zeros(len(s), dtype=np.int64)
+        weights = np.uint64(1) << np.arange(num_bits, dtype=np.uint64)
         for i, text in enumerate(s):
             if text is None:
                 continue
             toks = text.lower().split()
             if not toks:
                 continue
-            hs = np.array([_fnv1a64(t) for t in toks], dtype=np.uint64)
+            hs = np.frombuffer(
+                b"".join(_md5_8(t) for t in toks), dtype="<u8"
+            )
             bits = ((hs[:, None] >> np.arange(num_bits, dtype=np.uint64)) & 1)
             # signed arithmetic: uint64 would wrap when ones < half
             votes = bits.sum(axis=0).astype(np.int64) * 2 - len(hs)
-            sig = np.uint64(0)
-            for b in range(num_bits):
-                if votes[b] > 0:
-                    sig |= np.uint64(1) << np.uint64(b)
+            sig = (weights[votes > 0]).sum(dtype=np.uint64)
             out[i] = np.int64(sig)
         return pd.Series(out)
 
     return _simhash
 
 
-def _fnv1a64(s: str) -> np.uint64:
-    # uint64 wrap-around is the algorithm (mod 2^64)
-    with np.errstate(over="ignore"):
-        h = np.uint64(0xCBF29CE484222325)
-        for byte in s.encode("utf-8"):
-            h = np.uint64(h ^ np.uint64(byte)) * np.uint64(0x100000001B3)
-    return h
+def _md5_8(s: str) -> bytes:
+    import hashlib
+
+    return hashlib.md5(s.encode("utf-8")).digest()[:8]
+
+
+def token_hash_u64(s: str) -> int:
+    """Python twin of the simhash token hash (little-endian md5[:8];
+    DuckDB: ``md5_number_upper``) — the test/driver oracle primitive."""
+    return int.from_bytes(_md5_8(s), "little")
 
 
 def with_simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
@@ -327,14 +335,17 @@ def simhash_near_duplicates(
 # ---------------------------------------------------------------------------
 # embedding near-dup (cosine LSH)
 
-def hyperplane_bucket(
-    emb: Column, dim: int, n_planes: int = 16, seed: int = 42
-) -> Column:
-    """Random-hyperplane sign bucket as a pure Column expression: the
-    seeded hyperplanes are literals, the dot products are zip_with/
-    aggregate — scan-side, no UDF, no shuffle."""
+def seeded_planes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes — shared by the Spark exprs and
+    any SQL oracle (the literals are the contract)."""
     rng = np.random.RandomState(seed)
-    planes = rng.randn(n_planes, dim)
+    return rng.randn(n_planes, dim)
+
+
+def hyperplane_bits(emb: Column, planes: np.ndarray) -> list[Column]:
+    """Sign bit (0/1) per hyperplane, as pure Column expressions: the
+    planes are literals, each dot is one zip_with/aggregate fold —
+    scan-side, no UDF, no shuffle."""
     bits = []
     for p in planes:
         lit_vec = F.array(*[F.lit(float(x)) for x in p])
@@ -344,10 +355,30 @@ def hyperplane_bucket(
             lambda acc, x: acc + x,
         )
         bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
+    return bits
+
+
+def hyperplane_bucket(
+    emb: Column, dim: int, n_planes: int = 16, seed: int = 42
+) -> Column:
+    """Full sign-bucket id (all planes concatenated)."""
     bucket = F.lit(0)
-    for b in bits:
+    for b in hyperplane_bits(emb, seeded_planes(n_planes, dim, seed)):
         bucket = bucket * 2 + b
     return bucket
+
+
+def plane_chunks(n_planes: int, n_chunks: int = 3) -> list[list[int]]:
+    """Split plane indices into n_chunks contiguous bands (multi-probe
+    pigeonhole: two buckets within hamming <= n_chunks - 1 of each other
+    share at least one band)."""
+    base, rem = divmod(n_planes, n_chunks)
+    out, start = [], 0
+    for c in range(n_chunks):
+        size = base + (1 if c < rem else 0)
+        out.append(list(range(start, start + size)))
+        start += size
+    return out
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -360,6 +391,69 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
 
 
+def embedding_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    *,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    n_chunks: int = 3,
+    max_bucket_size: int = 4096,
+) -> DataFrame:
+    """Candidate embedding pairs (a, b, cos) via banded hyperplane LSH.
+
+    Multi-probe by pigeonhole banding: the n_planes sign bits split into
+    n_chunks bands; a pair is a candidate iff SOME band matches — i.e.
+    every pair whose full buckets differ in fewer than n_chunks bits is
+    guaranteed found (single-probe bucketing misses any pair straddling
+    ONE hyperplane; banding trades more candidates for that recall).
+
+    Scale shape: only skinny (id, band, key) rows shuffle for the
+    self-join (co-partitioned on the band key); embeddings re-attach to
+    the surviving candidate ids afterwards, so no bucket row ever
+    collects full vectors (a 4096-id bucket at dim 1024 would otherwise
+    be a ~33 MB row). Degenerate buckets (near-constant embedding
+    clusters) are capped — they are exact-dup clusters in disguise.
+    """
+    bits = hyperplane_bits(F.col(emb_col), seeded_planes(n_planes, dim, seed))
+    chunk_keys = []
+    for c, idxs in enumerate(plane_chunks(n_planes, n_chunks)):
+        key = F.lit(0)
+        for i in idxs:
+            key = key * 2 + bits[i]
+        chunk_keys.append(
+            F.struct(F.lit(c).alias("band"), key.alias("key"))
+        )
+    skinny = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array(*chunk_keys)).alias("_bk"),
+    ).select("_id", "_bk.band", "_bk.key")
+
+    sizes = skinny.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
+    bounded = skinny.join(
+        sizes.filter(F.col("_n") <= max_bucket_size), ["band", "key"]
+    )
+    a = bounded.select("band", "key", F.col("_id").alias("a"))
+    b = bounded.select("band", "key", F.col("_id").alias("b"))
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+    emb = df.select(F.col(id_col).alias("_eid"), F.col(emb_col).alias("_e"))
+    ea = emb.withColumnRenamed("_eid", "a").withColumnRenamed("_e", "_ea")
+    eb = emb.withColumnRenamed("_eid", "b").withColumnRenamed("_e", "_eb")
+    return (
+        pairs.join(ea, "a")
+        .join(eb, "b")
+        .select("a", "b", cosine(F.col("_ea"), F.col("_eb")).alias("cos"))
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -367,40 +461,15 @@ def embedding_near_duplicates(
     *,
     dim: int,
     threshold: float = 0.95,
-    n_planes: int = 12,
+    n_planes: int = 8,
     seed: int = 42,
+    n_chunks: int = 3,
     max_bucket_size: int = 4096,
 ) -> DataFrame:
-    """Near-dup embedding pairs: bucket by hyperplane signs, exact cosine
-    within buckets. (Single-probe LSH: pairs straddling a hyperplane are
-    missed — the recall/cost tradeoff is the point of the scale path;
-    brute-force cosine in similarity.py is the exact baseline.)"""
-    b = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(emb_col).alias("_emb"),
-        hyperplane_bucket(F.col(emb_col), dim, n_planes, seed).alias("_bucket"),
-    )
-    buckets = b.groupBy("_bucket").agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col("_id").alias("id"), F.col("_emb").alias("e")))
-        ).alias("items")
-    ).filter(
-        (F.size("items") > 1) & (F.size("items") <= max_bucket_size)
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("items"),
-                    lambda a, i: F.transform(
-                        F.slice(F.col("items"), i + 2, F.size("items")),
-                        lambda c: F.struct(
-                            a["id"].alias("a"), c["id"].alias("b"),
-                            a["e"].alias("ea"), c["e"].alias("eb"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.a", "p.b", cosine(F.col("p.ea"), F.col("p.eb")).alias("cos"))
-    return pairs.filter(F.col("cos") >= threshold)
+    """Near-dup embedding pairs (a, b, cos >= threshold): banded
+    hyperplane LSH candidates + exact cosine. Brute-force all-pairs in
+    queries.py is the exact baseline this approximates."""
+    return embedding_candidate_pairs(
+        df, id_col, emb_col, dim=dim, n_planes=n_planes, seed=seed,
+        n_chunks=n_chunks, max_bucket_size=max_bucket_size,
+    ).filter(F.col("cos") >= threshold)

@@ -75,23 +75,33 @@ def decode_image_batch(payloads: pd.Series, fake: bool) -> pd.DataFrame:
             "image decode requires an image codec; run with fake=True "
             "or install a decoder on the executors"
         )
-    n = len(payloads)
-    out = pd.DataFrame(index=payloads.index, columns=["width", "height", "mean_luma"])
-    for i, (idx, p) in enumerate(payloads.items()):
+    # One pass extracts the ragged byte heads (unavoidable per-row
+    # slicing); ALL arithmetic is vectorized numpy over the batch —
+    # no per-row pandas writes in the loop.
+    raw = payloads.to_numpy(dtype=object)
+    n = len(raw)
+    present = np.zeros(n, dtype=bool)
+    head8 = np.zeros(n, dtype=np.uint64)
+    lumsum = np.zeros(n, dtype=np.int64)
+    for i, p in enumerate(raw):
         if p is None:
-            out.loc[idx] = (None, None, None)
             continue
         b = bytes(p)
-        h = int.from_bytes(b[:8].ljust(8, b"\0"), "little")
-        out.loc[idx] = (
-            64 + h % 1920,
-            64 + (h >> 16) % 1080,
-            float((sum(b[:256]) % 2560) / 10.0),
-        )
-    _ = n
-    out["width"] = out["width"].astype("Int32")
-    out["height"] = out["height"].astype("Int32")
-    out["mean_luma"] = out["mean_luma"].astype("float64")
+        present[i] = True
+        head8[i] = int.from_bytes(b[:8].ljust(8, b"\0"), "little")
+        lumsum[i] = int(np.frombuffer(b[:256], dtype=np.uint8).sum())
+    width = (64 + head8 % 1920).astype("int64")
+    height = (64 + (head8 >> np.uint64(16)) % 1080).astype("int64")
+    luma = (lumsum % 2560) / 10.0
+    out = pd.DataFrame(
+        {
+            "width": pd.array(np.where(present, width, 0), dtype="Int32"),
+            "height": pd.array(np.where(present, height, 0), dtype="Int32"),
+            "mean_luma": luma,
+        },
+        index=payloads.index,
+    )
+    out.loc[~present, ["width", "height", "mean_luma"]] = None
     return out
 
 
@@ -145,23 +155,42 @@ def frame_sample_plan(
 
 
 def embed_text_fake(df: DataFrame, text_col: str, dim: int = 16) -> DataFrame:
-    """Deterministic fake text-embedding (hash-seeded) — stands in for a
-    model server call; exercises the array<double> plumbing + ANN ops."""
+    """Deterministic fake text-embedding — stands in for a model server
+    call; exercises the array<double> plumbing + ANN ops.
+
+    Formula (dim <= 16): component i = (md5(text)[i] - 128) / sqrt(sum_j
+    (md5(text)[j] - 128)^2). The integer sums are exact in float64, so
+    the vector is reproducible bit-for-bit by any engine with md5 (the
+    DuckDB oracle rebuilds it from the hex digest). Vectorized: one md5
+    per row (hashlib, GIL-released) then batch numpy — no per-row pandas.
+    """
+    if dim > 16:
+        raise ValueError("fake embedder derives from md5's 16 bytes")
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def _embed(s: pd.Series) -> pd.Series:
-        def one(t):
+        import hashlib
+
+        raw = s.to_numpy(dtype=object)
+        n = len(raw)
+        present = np.zeros(n, dtype=bool)
+        digests = bytearray()
+        for i, t in enumerate(raw):
             if t is None:
-                return None
-            import hashlib
-
-            seed = int.from_bytes(
-                hashlib.md5(t.encode("utf-8")).digest()[:4], "little"
-            )
-            rng = np.random.RandomState(seed % (2**31))
-            v = rng.randn(dim)
-            return (v / np.linalg.norm(v)).tolist()
-
-        return s.map(one)
+                digests += b"\0" * 16
+                continue
+            present[i] = True
+            digests += hashlib.md5(t.encode("utf-8")).digest()
+        mat = (
+            np.frombuffer(bytes(digests), dtype=np.uint8)
+            .reshape(n, 16)[:, :dim]
+            .astype(np.float64)
+            - 128.0
+        )
+        norm2 = (mat * mat).sum(axis=1)  # integer-valued, exact in f64
+        safe = np.where(norm2 > 0, np.sqrt(norm2), 1.0)
+        vecs = mat / safe[:, None]
+        out = [vecs[i].tolist() if present[i] else None for i in range(n)]
+        return pd.Series(out, index=s.index)
 
     return df.withColumn("embedding", _embed(F.col(text_col)))

@@ -73,7 +73,17 @@ def compile_parser(
         delim = spec.delimiters or ","
         n = len(spec.columns)
         parts = escaped_split(msg, delim, n)
-        cols = [(name, F.get(parts, i)) for i, name in enumerate(spec.columns)]
+        # Go leaves the row untouched where the split comes up short
+        # (task.go:216-222): a pre-existing STRING column keeps its value
+        # when its part is absent. (A pre-existing non-string column is
+        # still overwritten with NULL — columnar schemas are uniform;
+        # documented divergence, same family as the jsonify merge note.)
+        cols = []
+        for i, name in enumerate(spec.columns):
+            part = F.get(parts, i)
+            if name in schema and is_string(schema[name]):
+                part = F.coalesce(part, F.col(name))
+            cols.append((name, part))
         return CompiledParser(
             columns=cols,
             schema_updates={name: T.StringType() for name in spec.columns},
@@ -88,10 +98,15 @@ def compile_parser(
             return _compile_grok(pattern, groups)
         jpat = to_java_regex(pattern)
         matched = msg.rlike(jpat)
-        cols = [
-            (name, F.when(matched, F.regexp_extract(msg, jpat, idx)))
-            for name, idx in groups.items()
-        ]
+        # no-match leaves the row untouched (task.go:227-236): a
+        # pre-existing STRING column keeps its value on unmatched rows
+        # (non-string pre-existing columns: see the csv note above)
+        cols = []
+        for name, idx in groups.items():
+            extracted = F.when(matched, F.regexp_extract(msg, jpat, idx))
+            if name in schema and is_string(schema[name]):
+                extracted = extracted.otherwise(F.col(name))
+            cols.append((name, extracted))
         return CompiledParser(
             columns=cols,
             schema_updates={name: T.StringType() for name in groups},
@@ -131,14 +146,30 @@ def compile_parser(
                     new = F.coalesce(new, F.col(c))
             cols.append((c, new))
         cols.append((tmp, None))  # sentinel: drop the temp struct
+        updates = {
+            f.name: f.dataType
+            for f in struct_type.fields
+            if f.name != corrupt
+        }
+        if spec.attrs:
+            # dynamic-key overflow (SURVEY §1.4): the reference merges
+            # EVERY top-level key into the row (task.go:244-250); the
+            # undeclared ones land in a map<string,string> column so no
+            # data is silently dropped. Values are the JSON scalars
+            # rendered as strings (numbers/bools/objects keep their JSON
+            # text) — a stringly-typed view of Go's interface{} values;
+            # validators consult it via element_at (see validators.py).
+            map_t = T.MapType(T.StringType(), T.StringType())
+            overflow = F.map_filter(
+                F.from_json(msg, map_t),
+                lambda k, _: ~k.isin(*spec.columns),
+            )
+            cols.append((spec.attrs, overflow))
+            updates[spec.attrs] = map_t
         return CompiledParser(
             columns=cols,
             error=err,
-            schema_updates={
-                f.name: f.dataType
-                for f in struct_type.fields
-                if f.name != corrupt
-            },
+            schema_updates=updates,
         )
 
     raise ValueError(f"unsupported parser mode `{spec.mode}`")

@@ -94,6 +94,18 @@ def ivf_index(
     )
 
 
+def ivf_probes(
+    centroids: np.ndarray, query: list[float], nprobe: int
+) -> list[int]:
+    """The nprobe centroid ids nearest the query (by dot product — the
+    centroids are unit-norm, so query normalization cannot change the
+    order)."""
+    q = np.asarray(query, dtype=float)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    order = np.argsort(-(centroids @ qn))
+    return [int(i) for i in order[:nprobe]]
+
+
 def ivf_topk(
     indexed: DataFrame,
     emb_col: str,
@@ -108,9 +120,6 @@ def ivf_topk(
     """Search only the nprobe buckets nearest the query: the filter is a
     partition-prunable predicate; the exact cosine runs on the pruned
     fraction only."""
-    q = np.asarray(query, dtype=float)
-    qn = q / (np.linalg.norm(q) or 1.0)
-    order = np.argsort(-(centroids @ qn))
-    probes = [int(i) for i in order[:nprobe]]
+    probes = ivf_probes(centroids, query, nprobe)
     pruned = indexed.filter(F.col(bucket_col).isin(probes))
     return brute_force_topk(pruned, emb_col, query, k=k, id_col=id_col)

@@ -45,6 +45,13 @@ def compile_validator(spec: ValidatorSpec, schema: Schema) -> Column:
     col_name, mode = spec.column, spec.mode
     dt = schema.get(col_name)
     if dt is None:
+        # not a declared column: if the pipeline carries a dynamic-key
+        # overflow map (jsonify Attrs extension), validate against it —
+        # the reference's rows hold ALL json keys, so validators must
+        # see the undeclared ones too
+        attrs_dt = schema.get("attrs")
+        if isinstance(attrs_dt, T.MapType):
+            return _attrs_validator(spec)
         # column can never exist => every row fails (validator.go:16-18)
         return F.lit(False)
     c = F.col(col_name)
@@ -80,6 +87,39 @@ def compile_validator(spec: ValidatorSpec, schema: Schema) -> Column:
         from logagent_spark.functions import to_java_regex
 
         return c.rlike(to_java_regex(spec.regex))
+    raise ValueError(f"unsupported validation mode `{mode}`")
+
+
+def _attrs_validator(spec: ValidatorSpec) -> Column:
+    """Validator over the dynamic-key overflow map (`attrs`,
+    map<string,string> — parsers.py jsonify Attrs extension).
+
+    The map is stringly-typed (every JSON scalar keeps its JSON text),
+    so: string modes (required/value/regex/length) behave exactly like
+    Go on string-valued keys; numeric modes compile to False (Go: JSON
+    numbers are float64, `.(int)` always fails — validator.go:69-83);
+    `type string` passes for any present key (documented divergence: a
+    numeric JSON value is indistinguishable from its decimal string
+    here)."""
+    v = F.element_at(F.col("attrs"), F.lit(spec.column))
+    mode = spec.mode
+    if mode == "required":
+        return v.isNotNull()
+    if mode == "type":
+        return v.isNotNull() if spec.type == "string" else F.lit(False)
+    if mode == "value":
+        return v == F.lit(spec.value)
+    if mode in ("number", "maxvalue", "minvalue"):
+        return F.lit(False)
+    if mode in ("maxlength", "minlength"):
+        ln = F.octet_length(v)
+        if mode == "maxlength":
+            return ln <= F.lit(spec.number)
+        return ln >= F.lit(spec.number)
+    if mode == "regex":
+        from logagent_spark.functions import to_java_regex
+
+        return v.rlike(to_java_regex(spec.regex))
     raise ValueError(f"unsupported validation mode `{mode}`")
 
 

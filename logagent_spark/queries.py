@@ -586,13 +586,46 @@ SELECT a, b, cos_ppm FROM p WHERE cos_ppm >= 400000
 
 
 # ---------------------------------------------------------------------------
-# non-SQL-expressible ops (rows-only driver check)
+# LSH / hashing ops — every hash in these pipelines is md5- or
+# literal-plane-based, so DuckDB reproduces the FULL pipeline (bucketing
+# included), not just an invariant. The exceptions that remain rows-only
+# are noted at the registry.
 
 def q_dedup_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified. The oracle is
+    all-pairs exact Jaccard: banding at r=2/b=16 misses a J>=0.5 pair
+    with probability (1 - J^2)^16 <= 2.4e-11 at this corpus's minimum
+    qualifying J (0.875), so LSH output == exact output deterministically
+    at test scale. (Production presets trade r/b the other way — recall
+    is the tunable, and the exact oracle is the measuring stick.)"""
     docs = _t(spark, sf_dir, "documents")
-    return dd.minhash_near_duplicates(
-        docs, "doc_id", "text", threshold=0.5, num_hashes=32, bands=8
+    out = dd.minhash_near_duplicates(
+        docs, "doc_id", "text", threshold=0.5, num_hashes=32, bands=16
     )
+    return out.select("a", "b", _ppm(F.col("jaccard")).alias("jaccard_ppm"))
+
+
+SQL_DEDUP_MINHASH_PAIRS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, ' +'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(t) >= 5 THEN
+      list_transform(generate_series(1, len(t) - 4),
+                     i -> array_to_string(list_slice(t, i, i + 4), ' '))
+    ELSE [array_to_string(t, ' ')] END) AS s
+  FROM toks
+), j AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         len(list_intersect(a.s, b.s)) AS i,
+         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT a, b, CAST(floor((i::DOUBLE / u) * 1000000) AS BIGINT) AS jaccard_ppm
+FROM j WHERE i::DOUBLE / u >= 0.5
+"""
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -600,37 +633,494 @@ def q_dedup_simhash(spark, sf_dir):
     return dd.with_simhash(docs, "text").select("doc_id", "simhash")
 
 
+# SimHash rebuilt in SQL: token hash = little-endian uint64 of
+# md5(token)[:8] = DuckDB md5_number_upper; per-bit majority vote; the
+# unsigned signature two's-complements into the BIGINT Spark emits.
+_SQL_SIMHASH_CTE = r"""
+toks AS (
+  SELECT doc_id, list_transform(
+    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+    t -> md5_number_upper(t)) AS hs
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+    list_sum(list_transform(range(0, 64), b ->
+      CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> b) & 1)) > len(hs)
+           THEN (1::HUGEINT << b) ELSE 0::HUGEINT END))::HUGEINT AS u
+  FROM toks
+), s AS (
+  SELECT doc_id,
+         (CASE WHEN u >= 9223372036854775808::HUGEINT
+               THEN u - 18446744073709551616::HUGEINT
+               ELSE u END)::BIGINT AS simhash
+  FROM sig
+)
+"""
+
+SQL_DEDUP_SIMHASH = f"""
+WITH {_SQL_SIMHASH_CTE}
+SELECT doc_id, simhash FROM s
+"""
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
+
+
+SQL_DEDUP_SIMHASH_PAIRS = f"""
+WITH {_SQL_SIMHASH_CTE}
+SELECT a.doc_id AS a, b.doc_id AS b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE ((a.simhash >> 0) & 65535 = (b.simhash >> 0) & 65535
+    OR (a.simhash >> 16) & 65535 = (b.simhash >> 16) & 65535
+    OR (a.simhash >> 32) & 65535 = (b.simhash >> 32) & 65535
+    OR (a.simhash >> 48) & 65535 = (b.simhash >> 48) & 65535)
+  AND bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def _sql_vec(v) -> str:
+    # repr() round-trips float64 exactly; DuckDB's decimal/scientific
+    # literal -> DOUBLE parse lands on the same bits
+    return "[" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+
+_IVF_CENTROIDS = sim.seeded_centroids(64, 8, seed=1)
+_IVF_NPROBE = 4
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    cents = sim.seeded_centroids(64, 8, seed=1)
-    indexed = sim.ivf_index(emb, "embedding", cents)
+    indexed = sim.ivf_index(emb, "embedding", _IVF_CENTROIDS)
     q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return sim.ivf_topk(indexed, "embedding", q, cents, k=10, nprobe=4)
+    probes = sim.ivf_probes(_IVF_CENTROIDS, q, _IVF_NPROBE)
+    pruned = indexed.filter(F.col("ivf_bucket").isin(probes))
+    scored = pruned.select(
+        "vec_id",
+        _ppm(sim.cosine_to_query(F.col("embedding"), q)).alias("cos_ppm"),
+    )
+    return scored.orderBy(F.col("cos_ppm").desc(), F.col("vec_id")).limit(10)
+
+
+def _sql_ann_ivf() -> str:
+    cent_rows = ", ".join(
+        f"({i}, {_sql_vec(c)})" for i, c in enumerate(_IVF_CENTROIDS)
+    )
+    dots = "[" + ", ".join(
+        f"list_dot_product(e, {_sql_vec(c)})" for c in _IVF_CENTROIDS
+    ) + "]"
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+cents(cid, cv) AS (VALUES {cent_rows}),
+probes AS (
+  SELECT cid FROM cents, q
+  ORDER BY list_dot_product(cv, qe) DESC, cid LIMIT {_IVF_NPROBE}
+),
+scored AS (
+  SELECT vec_id,
+         CAST(floor(list_cosine_similarity(e, q.qe) * 1000000) AS BIGINT)
+           AS cos_ppm,
+         list_position({dots}, list_max({dots})) - 1 AS bucket
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), q
+)
+SELECT vec_id, cos_ppm FROM scored
+WHERE bucket IN (SELECT cid FROM probes)
+ORDER BY cos_ppm DESC, vec_id LIMIT 10
+"""
+
+
+SQL_ANN_IVF_TOPK = _sql_ann_ivf()
+
+
+_NDUP_N_PLANES = 8
+_NDUP_PLANES = dd.seeded_planes(_NDUP_N_PLANES, 64, seed=42)
+_NDUP_THRESHOLD_PPM = 400000
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Banded hyperplane-LSH near-dup pairs. The DuckDB oracle rebuilds
+    the SAME LSH (the planes are shared literals), so the gate checks
+    the full approximate pipeline; recall vs the exact baseline is
+    measured separately in bench.py."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cand = dd.embedding_candidate_pairs(
+        emb, "vec_id", "embedding", dim=64,
+        n_planes=_NDUP_N_PLANES, seed=42, n_chunks=3,
+    )
+    return cand.select(
+        "a", "b", _ppm(F.col("cos")).alias("cos_ppm")
+    ).filter(F.col("cos_ppm") >= _NDUP_THRESHOLD_PPM)
+
+
+def _sql_embedding_near_dup() -> str:
+    bit_exprs = ",\n         ".join(
+        f"CASE WHEN list_dot_product(e, {_sql_vec(p)}) >= 0 "
+        f"THEN 1 ELSE 0 END AS b{i}"
+        for i, p in enumerate(_NDUP_PLANES)
+    )
+    bands = "\n    OR ".join(
+        "(" + " AND ".join(f"x.b{i} = y.b{i}" for i in idxs) + ")"
+        for idxs in dd.plane_chunks(_NDUP_N_PLANES, 3)
+    )
+    cos = "CAST(floor(list_cosine_similarity(x.e, y.e) * 1000000) AS BIGINT)"
+    return f"""
+WITH b AS (
+  SELECT vec_id, e,
+         {bit_exprs}
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+)
+SELECT x.vec_id AS a, y.vec_id AS b, {cos} AS cos_ppm
+FROM b x JOIN b y ON x.vec_id < y.vec_id
+WHERE ({bands})
+  AND {cos} >= {_NDUP_THRESHOLD_PPM}
+"""
+
+
+SQL_EMBEDDING_NEAR_DUP = _sql_embedding_near_dup()
 
 
 def q_rate_limit_admit(spark, sf_dir):
     """Leaky-bucket rate limit (reference tail/ratelimiter) keyed by
-    event_type, batch twin of the stateful streaming operator. Iterative
-    per-key simulation — not SQL-expressible, rows-only check."""
+    event_type, batch twin of the stateful streaming operator. The
+    oracle replays the same event-time-ordered recurrence as a DuckDB
+    recursive CTE (one recursion step = one row per key)."""
     from logagent_spark.streaming.ratelimit import rate_limited_batch
 
     ev = _t(spark, sf_dir, "events")
     out = rate_limited_batch(
         ev, "event_type", "ts", size=5, leak_interval_s=3600.0,
-        payload_cols=["event_id"],
+        payload_cols=["event_id"], order_cols=["ts", "event_id"],
     )
     return out.select("event_id", "event_type", "admitted")
 
 
-def q_embedding_near_dup(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
+SQL_RATE_LIMIT_ADMIT = r"""
+WITH RECURSIVE ev AS (
+  SELECT event_type, event_id, (epoch_us(ts)/1000000.0)::DOUBLE AS t,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS rn
+  FROM events
+), sim AS (
+  -- base: fill 0.0, no leak; size=5 admits the first pour
+  SELECT event_type, event_id, rn, t, t AS last_ts,
+         1.0::DOUBLE AS fill, true AS admitted
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT x.event_type, x.event_id, x.rn, x.t, x.t,
+         CASE WHEN x.leaked + 1.0::DOUBLE > 5.0::DOUBLE THEN x.leaked
+              ELSE x.leaked + 1.0::DOUBLE END,
+         (x.leaked + 1.0::DOUBLE <= 5.0::DOUBLE)
+  FROM (
+    SELECT e.event_type, e.event_id, e.rn, e.t,
+           CASE WHEN s.fill > 0.0::DOUBLE
+                THEN greatest(s.fill - (e.t - s.last_ts)/3600.0::DOUBLE,
+                              0.0::DOUBLE)
+                ELSE s.fill END AS leaked
+    FROM sim s JOIN ev e
+      ON e.event_type = s.event_type AND e.rn = s.rn + 1
+  ) x
+)
+SELECT event_id, event_type, admitted FROM sim
+"""
+
+
+# ---------------------------------------------------------------------------
+# dynamic-JSON attrs overflow (SURVEY §1.4; reference merges ALL keys,
+# task.go:244-250)
+
+def q_parse_json_dynamic(spark, sf_dir):
+    """jsonify with declared `k` + Attrs overflow: undeclared keys (et,
+    uid) land in the attrs map; validators consult the map for columns
+    the schema doesn't declare."""
+    spec = PipelineSpec.from_dict({
+        "Parser": {"Mode": "jsonify", "Columns": ["k"],
+                   "Types": {"k": "double"}, "Attrs": "attrs"},
+    })
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "message",
+        F.concat(
+            F.lit('{"k": '), F.regexp_extract("props", r"(\d+)", 1),
+            F.lit(', "et": "'), F.col("event_type"),
+            F.lit('", "uid": '), F.col("user_id").cast("string"),
+            F.lit("}"),
+        ),
     )
-    return dd.embedding_near_duplicates(
-        emb, "vec_id", "embedding", dim=64, threshold=0.9, n_planes=8
+    res = CompiledPipeline(spec).transform(ev)
+    from logagent_spark.config import ValidatorSpec
+
+    # undeclared columns resolve against the attrs map (validators.py)
+    et_ok = compile_gate(
+        [ValidatorSpec(mode="required", column="et"),
+         ValidatorSpec(mode="minlength", column="et", number=5)],
+        res.schema,
     )
+    return res.frame.select(
+        "event_id",
+        F.col("k").cast("long").alias("k_val"),
+        F.array_join(F.array_sort(F.map_keys("attrs")), ",").alias("attr_keys"),
+        F.element_at("attrs", F.lit("et")).alias("et"),
+        F.element_at("attrs", F.lit("uid")).alias("uid"),
+        F.coalesce(et_ok, F.lit(False)).alias("et_len5_ok"),
+    )
+
+
+SQL_PARSE_JSON_DYNAMIC = r"""
+WITH m AS (
+  SELECT event_id,
+         '{"k": ' || regexp_extract(props, '(\d+)', 1)
+         || ', "et": "' || event_type
+         || '", "uid": ' || user_id || '}' AS msg
+  FROM events
+)
+SELECT event_id,
+       CAST(CAST(json_extract_string(msg, '$.k') AS DOUBLE) AS BIGINT) AS k_val,
+       array_to_string(
+         list_sort(list_filter(json_keys(msg), k -> k <> 'k')), ','
+       ) AS attr_keys,
+       json_extract_string(msg, '$.et') AS et,
+       json_extract_string(msg, '$.uid') AS uid,
+       (json_extract_string(msg, '$.et') IS NOT NULL
+        AND strlen(json_extract_string(msg, '$.et')) >= 5)
+         AS et_len5_ok
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# remaining validator modes + rewrite modes as driver queries
+
+def q_validate_modes(spark, sf_dir):
+    """required / type / minvalue / maxlength as the row gate; `number`
+    (exact equality) as a per-row flag (an AND-ed equality gate would
+    keep ~0 rows — pointless evidence)."""
+    from logagent_spark.config import ValidatorSpec
+
+    ev = _t(spark, sf_dir, "events")
+    schema = {f.name: f.dataType for f in ev.schema.fields}
+    gate = compile_gate(
+        [
+            ValidatorSpec(mode="required", column="props"),
+            ValidatorSpec(mode="type", column="user_id", type="int"),
+            ValidatorSpec(mode="minvalue", column="user_id", number=10),
+            ValidatorSpec(mode="maxlength", column="event_type", number=6),
+        ],
+        schema,
+    )
+    from logagent_spark.operators.validators import compile_validator
+
+    num_ok = compile_validator(
+        ValidatorSpec(mode="number", column="event_id", number=42), schema
+    )
+    return ev.filter(F.coalesce(gate, F.lit(False))).select(
+        "event_id",
+        F.coalesce(num_ok, F.lit(False)).alias("is_42"),
+    )
+
+
+SQL_VALIDATE_MODES = """
+SELECT event_id, (event_id = 42) AS is_42
+FROM events
+WHERE props IS NOT NULL
+  AND user_id IS NOT NULL
+  AND user_id >= 10
+  AND strlen(event_type) <= 6
+"""
+
+
+def q_rewrite_jsonify_splice(spark, sf_dir):
+    """`jsonify` rewrite: parse a JSON-string COLUMN (not message) and
+    splice keys in as {col}_{key} (task.go:302-321)."""
+    spec = PipelineSpec.from_dict({
+        "Rewrites": [
+            {"Mode": "jsonify", "Column": "props", "Types": {"k": "double"}},
+        ],
+    })
+    ev = _t(spark, sf_dir, "events")
+    res = CompiledPipeline(spec).transform(ev)
+    return res.frame.select(
+        "event_id", F.col("props_k").cast("long").alias("props_k"),
+    )
+
+
+SQL_REWRITE_JSONIFY_SPLICE = """
+SELECT event_id,
+       CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE) AS BIGINT)
+         AS props_k
+FROM events
+"""
+
+
+def q_rewrite_unjsonify(spark, sf_dir):
+    """`unjsonify`: value -> its Go json.Marshal encoding (string gets
+    quoted+escaped, number renders bare; stored as bytes, task.go:323-334).
+    Output decodes the bytes back to UTF-8 for engine-portable hashing."""
+    spec = PipelineSpec.from_dict({
+        "Rewrites": [
+            {"Mode": "unjsonify", "Column": "event_type"},
+            {"Mode": "unjsonify", "Column": "value"},
+        ],
+    })
+    ev = _t(spark, sf_dir, "events")
+    res = CompiledPipeline(spec).transform(ev)
+    return res.frame.select(
+        "event_id",
+        F.col("event_type").cast("string").alias("et_json"),
+        F.col("value").cast("string").alias("val_json"),
+    )
+
+
+SQL_REWRITE_UNJSONIFY = """
+SELECT event_id,
+       '"' || event_type || '"' AS et_json,
+       CAST(value AS VARCHAR) AS val_json
+FROM events
+"""
+
+
+def q_rewrite_command(spark, sf_dir):
+    """`command` rewrite parity: the reference execs per row
+    (task.go:336-351); the engine execs once on the driver and
+    broadcasts the literal (documented divergence — identical output for
+    deterministic commands). `echo` emits a single newline."""
+    spec = PipelineSpec.from_dict({
+        "Rewrites": [
+            {"Mode": "command", "Column": "cmd_out", "Command": "echo"},
+        ],
+    })
+    ev = _t(spark, sf_dir, "events")
+    res = CompiledPipeline(spec).transform(ev)
+    return res.frame.select("event_id", "cmd_out")
+
+
+SQL_REWRITE_COMMAND = """
+SELECT event_id, chr(10) AS cmd_out FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (binary payload columns)
+
+def _doc_payload() -> F.Column:
+    prefix = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("GIF8"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("<htm"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("%PDF"))
+        .otherwise(F.lit("RIFF"))
+    )
+    return F.encode(F.concat(prefix, F.col("text")), "UTF-8")
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Opaque-binary metadata path: payload bytes synthesized from text
+    with real magic-byte prefixes; sniff/size/digest are pure Column
+    exprs (no Python touches the payloads)."""
+    from logagent_spark.operators.multimodal import with_media_meta
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _doc_payload().alias("payload")
+    )
+    return with_media_meta(docs).select(
+        "doc_id", "media_bytes", "media_format", "media_digest"
+    )
+
+
+SQL_MULTIMODAL_META = """
+WITH p AS (
+  SELECT doc_id,
+         encode(CASE doc_id % 4 WHEN 0 THEN 'GIF8' WHEN 1 THEN '<htm'
+                               WHEN 2 THEN '%PDF' ELSE 'RIFF' END
+                || text) AS payload,
+         -- UTF-8 payload: hashing the string == hashing the blob bytes
+         -- (this DuckDB's md5 is VARCHAR-only)
+         md5(CASE doc_id % 4 WHEN 0 THEN 'GIF8' WHEN 1 THEN '<htm'
+                             WHEN 2 THEN '%PDF' ELSE 'RIFF' END
+             || text) AS digest
+  FROM documents
+)
+SELECT doc_id,
+       octet_length(payload) AS media_bytes,
+       -- the oracle PREDICTS the sniff from the planted prefix — an
+       -- independent path to the same answer
+       CASE doc_id % 4 WHEN 0 THEN 'gif' WHEN 1 THEN 'html'
+                       WHEN 2 THEN 'pdf' ELSE 'riff' END AS media_format,
+       digest AS media_digest
+FROM p
+"""
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling PLAN: (frame_idx, byte_offset) rows per
+    payload, sequence+posexplode — no Python."""
+    from logagent_spark.operators.multimodal import frame_sample_plan
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _doc_payload().alias("payload")
+    )
+    out = frame_sample_plan(docs, every_n_bytes=256, max_frames=8)
+    return out.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("byte_offset").cast("long").alias("byte_offset"),
+    )
+
+
+SQL_MULTIMODAL_FRAMES = """
+WITH f AS (
+  SELECT doc_id,
+         -- + 4: the payload carries a 4-byte magic prefix
+         least(greatest(CAST(trunc((octet_length(encode(text)) + 4) / 256.0)
+                             AS INT), 1), 8) AS nf
+  FROM documents
+)
+SELECT doc_id, frame_idx, frame_idx * 256 AS byte_offset
+FROM (SELECT doc_id, unnest(range(0, nf)) AS frame_idx FROM f)
+"""
+
+
+def q_embed_text_fake(spark, sf_dir):
+    """Fake text-embedder (model stand-in): md5-byte-derived unit
+    vectors through the Arrow/pandas UDF; integer norms make components
+    engine-exact (see multimodal.embed_text_fake)."""
+    from logagent_spark.operators.multimodal import embed_text_fake
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = embed_text_fake(docs, "text", dim=16)
+    return emb.select(
+        "doc_id",
+        *[
+            _ppm(F.get(F.col("embedding"), i)).alias(f"v{i}_ppm")
+            for i in range(4)
+        ],
+    )
+
+
+SQL_EMBED_TEXT_FAKE = """
+WITH b AS (
+  SELECT doc_id,
+         list_transform(range(0, 16),
+           i -> ('0x' || substring(md5(text), 1 + i*2, 2))::INTEGER - 128)
+           AS bs
+  FROM documents
+), n AS (
+  SELECT doc_id, bs,
+         CASE WHEN list_sum(list_transform(bs, x -> x*x)) > 0
+              THEN sqrt(list_sum(list_transform(bs, x -> x*x))::DOUBLE)
+              ELSE 1.0 END AS nrm
+  FROM b
+)
+SELECT doc_id,
+       CAST(floor((bs[1] / nrm) * 1000000) AS BIGINT) AS v0_ppm,
+       CAST(floor((bs[2] / nrm) * 1000000) AS BIGINT) AS v1_ppm,
+       CAST(floor((bs[3] / nrm) * 1000000) AS BIGINT) AS v2_ppm,
+       CAST(floor((bs[4] / nrm) * 1000000) AS BIGINT) AS v3_ppm
+FROM n
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -661,9 +1151,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "rate_limit_admit": q_rate_limit_admit,
+        "parse_json_dynamic": q_parse_json_dynamic,
+        "validate_modes": q_validate_modes,
+        "rewrite_jsonify_splice": q_rewrite_jsonify_splice,
+        "rewrite_unjsonify": q_rewrite_unjsonify,
+        "rewrite_command": q_rewrite_command,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
+        "embed_text_fake": q_embed_text_fake,
     }
 
 
@@ -690,7 +1189,21 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": SQL_QUALITY_FILTER,
         "similarity_topk": SQL_SIMILARITY_TOPK,
         "embedding_near_dup_exact": SQL_EMBEDDING_NEAR_DUP_EXACT,
-        # dedup_minhash_pairs / dedup_simhash / ann_ivf_topk /
-        # embedding_near_dup: no SQL equivalent (LSH banding, FNV simhash,
-        # seeded centroids) -> rows-only check
+        # the LSH/hash ops are fully SQL-reproducible: md5-based token
+        # hashes (md5_number_upper), literal hyperplanes/centroids, and
+        # a recursive CTE for the leaky-bucket recurrence
+        "dedup_minhash_pairs": SQL_DEDUP_MINHASH_PAIRS,
+        "dedup_simhash": SQL_DEDUP_SIMHASH,
+        "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
+        "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+        "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+        "rate_limit_admit": SQL_RATE_LIMIT_ADMIT,
+        "parse_json_dynamic": SQL_PARSE_JSON_DYNAMIC,
+        "validate_modes": SQL_VALIDATE_MODES,
+        "rewrite_jsonify_splice": SQL_REWRITE_JSONIFY_SPLICE,
+        "rewrite_unjsonify": SQL_REWRITE_UNJSONIFY,
+        "rewrite_command": SQL_REWRITE_COMMAND,
+        "multimodal_meta": SQL_MULTIMODAL_META,
+        "multimodal_frames": SQL_MULTIMODAL_FRAMES,
+        "embed_text_fake": SQL_EMBED_TEXT_FAKE,
     }

@@ -71,12 +71,18 @@ def start_streaming_pipeline(
         )
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # foreachBatch is AT-LEAST-ONCE on micro-batch retry: a batch
+        # that fails after a partial write replays from the checkpoint
+        # with the SAME epoch_id. Idempotence comes from partitioning on
+        # _epoch and dynamically overwriting ONLY the replayed epoch's
+        # partitions (a blind append would duplicate the partial write).
         result = pipe.transform(batch_df)
         out = pipe.multiplexed(result, keep=keep)
         (
             out.withColumn("_epoch", F.lit(epoch_id))
-            .write.mode("append")
-            .partitionBy(SINK_COL)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch", SINK_COL)
             .parquet(out_dir)
         )
 

@@ -35,7 +35,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["simulate_bucket", "rate_limited", "rate_limited_batch"]
+__all__ = [
+    "simulate_bucket", "rate_limited", "rate_limited_batch",
+    "rate_limited_batch_chunked",
+]
 
 
 def simulate_bucket(
@@ -48,17 +51,24 @@ def simulate_bucket(
     """Pour one unit per event (event-time ordered). Mirrors Go
     leakybucket.go exactly: leak only while fill > 0; Lastupdate
     advances on every pour, admitted or not; `newfill > size` rejects.
-    Returns (admitted bool array, final fill, final last_ts)."""
+    Returns (admitted bool array, final fill, final last_ts).
+
+    Late data: a pour with t < last_ts (possible only across streaming
+    micro-batches — within a batch rows are event-time sorted) leaks
+    nothing and does not regress last_ts; an unclamped (t - last_ts)
+    would be negative and GROW the fill (anti-leak), spuriously
+    rejecting subsequent rows."""
     ts = np.asarray(ts_seconds, dtype=np.float64)
     admitted = np.empty(len(ts), dtype=bool)
     if last_ts is None:
         last_ts = ts[0] if len(ts) else 0.0
     for i, t in enumerate(ts):
-        if fill > 0:
+        if fill > 0 and t > last_ts:
             fill -= (t - last_ts) / leak_interval_s
             if fill < 0:
                 fill = 0.0
-        last_ts = t
+        if t > last_ts:
+            last_ts = t
         if fill + 1.0 > size:
             admitted[i] = False
         else:
@@ -93,18 +103,21 @@ def rate_limited(
     size: float,
     leak_interval_s: float,
     payload_cols: list[str] | None = None,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Streaming leaky bucket per key. Input must be a streaming
     DataFrame; output appends every row with an `admitted` flag (filter
-    on it to reproduce the reference's drop)."""
+    on it to reproduce the reference's drop). `order_cols` breaks
+    event-time ties deterministically (default: stable on ts only)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     cols = [key_col, ts_col, *(payload_cols or [])]
     out_schema = _out_schema(df, cols)
+    sort_cols = order_cols or [ts_col]
 
     def func(key, pdf_iter, state):
         pdf = pd.concat(list(pdf_iter), ignore_index=True)
-        pdf = pdf.sort_values(ts_col, kind="stable", ignore_index=True)
+        pdf = pdf.sort_values(sort_cols, kind="stable", ignore_index=True)
         us = _ts_us(pdf[ts_col])
         if state.exists:
             fill, last_us = state.get
@@ -137,15 +150,24 @@ def rate_limited_batch(
     size: float,
     leak_interval_s: float,
     payload_cols: list[str] | None = None,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Batch twin: a key's full history is in its group, so the same
     simulation runs statelessly under applyInPandas. One shuffle on the
-    key; per-group work is linear and the state is two scalars."""
+    key; per-group work is linear and the state is two scalars.
+    `order_cols` breaks event-time ties deterministically (pass the
+    payload id for a reproducible admitted set when timestamps can
+    collide).
+
+    Hot-key caveat: one Zipf-hot key serializes its full history into a
+    single Python worker; use `rate_limited_batch_chunked` when a key's
+    history exceeds one task's comfort."""
     cols = [key_col, ts_col, *(payload_cols or [])]
     out_schema = _out_schema(df, cols)
+    sort_cols = order_cols or [ts_col]
 
     def func(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col, kind="stable", ignore_index=True)
+        pdf = pdf.sort_values(sort_cols, kind="stable", ignore_index=True)
         us = _ts_us(pdf[ts_col])
         admitted, _, _ = simulate_bucket(us / 1e6, size, leak_interval_s)
         out = pdf[cols].copy()
@@ -153,6 +175,86 @@ def rate_limited_batch(
         return out
 
     return df.select(*cols).groupBy(key_col).applyInPandas(func, out_schema)
+
+
+def rate_limited_batch_chunked(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    size: float,
+    leak_interval_s: float,
+    payload_cols: list[str] | None = None,
+    order_cols: list[str] | None = None,
+    num_chunks: int = 8,
+) -> DataFrame:
+    """Hot-key-safe batch twin: the event-time axis splits into
+    `num_chunks` global ranges; chunks run sequentially (mirroring the
+    streaming twin's micro-batches), each as ONE parallel applyInPandas
+    over keys with the previous chunk's (fill, last_us) state joined in.
+    A Zipf-hot key's per-task input is bounded by its rows/chunk instead
+    of its full history; the inter-chunk state is O(distinct keys) tiny
+    frames.
+
+    Identical output to `rate_limited_batch` (the simulation core is
+    resumable by construction — the streaming operator already relies on
+    that across micro-batches)."""
+    cols = [key_col, ts_col, *(payload_cols or [])]
+    out_schema = _out_schema(df, cols)
+    out_plus_state = T.StructType(
+        list(out_schema.fields)
+        + [T.StructField("fill", T.DoubleType()),
+           T.StructField("last_us", T.LongType())]
+    )
+    sort_cols = order_cols or [ts_col]
+
+    # global event-time chunk boundaries (approx quantiles are fine: the
+    # split only balances work, never changes results)
+    qs = [i / num_chunks for i in range(1, num_chunks)]
+    bounds = df.select(F.col(ts_col).cast("double").alias("_t")) \
+        .approxQuantile("_t", qs, 0.001)
+
+    def run_chunk(chunk_df: DataFrame, states: dict):
+        def func(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(sort_cols, kind="stable", ignore_index=True)
+            us = _ts_us(pdf[ts_col])
+            fill, last = states.get(key[0], (0.0, None))
+            admitted, fill, last_ts = simulate_bucket(
+                us / 1e6, size, leak_interval_s, fill,
+                None if last is None else last / 1e6,
+            )
+            out = pdf[cols].copy()
+            out["admitted"] = admitted
+            # every row carries the chunk-final state so the driver can
+            # read it back with one first() per key
+            out["fill"] = float(fill)
+            out["last_us"] = int(last_ts * 1e6)
+            return out
+
+        return chunk_df.select(*cols).groupBy(key_col).applyInPandas(
+            func, out_plus_state
+        )
+
+    t = F.col(ts_col).cast("double")
+    pieces: list[DataFrame] = []
+    states: dict = {}  # key -> (fill, last_us); keys absent from a chunk keep theirs
+    edges = [float("-inf"), *dict.fromkeys(bounds), float("inf")]
+    for lo, hi in zip(edges, edges[1:]):
+        chunk = df.filter((t > F.lit(lo)) & (t <= F.lit(hi)))
+        with_state = run_chunk(chunk, dict(states)).persist()
+        pieces.append(with_state.select(*cols, "admitted"))
+        for r in (
+            with_state.groupBy(key_col)
+            .agg(F.first("fill").alias("fill"),
+                 F.first("last_us").alias("last_us"))
+            .collect()
+        ):
+            states[r[0]] = (r[1], r[2])
+
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def admitted_counts(limited: DataFrame, key_col: str) -> DataFrame:

@@ -85,7 +85,7 @@ def _py_simhash(text, num_bits=64):
     toks = text.lower().split()
     votes = [0] * num_bits
     for t in toks:
-        h = int(dedup._fnv1a64(t))
+        h = dedup.token_hash_u64(t)
         for b in range(num_bits):
             votes[b] += 1 if (h >> b) & 1 else -1
     sig = 0

@@ -161,3 +161,94 @@ def test_grok_dictionary_first_match_wins(spark):
     assert got[2]["num"] == "12345"
     assert got[3]["grok_pattern"] is None
     assert got[4]["grok_pattern"] == "waf"
+
+
+# ---------------------------------------------------------------------------
+# round-2 regressions / extensions
+
+
+@pytest.mark.parametrize("strategy", ["native", "grok"])
+def test_regex_underscored_group_names(spark, strategy):
+    """snake_case group names (e.g. %{IPV4:client_ip}) must compile:
+    java.util.regex rejects underscores in (?<name>...), so the JVM
+    pattern strips names and extracts positionally."""
+    parser = ParserSpec(
+        mode="regex",
+        regex=r"(?P<client_ip>\d+\.\d+\.\d+\.\d+) (?P<http_status>\d{3})",
+    )
+    rows = _run(spark, parser, ["10.0.0.1 200 ok", "nope"],
+                regex_strategy=strategy)
+    assert rows[0]["client_ip"] == "10.0.0.1"
+    assert rows[0]["http_status"] == "200"
+    assert rows[1]["client_ip"] is None
+
+
+def test_regex_no_match_keeps_preexisting_string_column(spark):
+    """Go leaves the row untouched on no-match (task.go:227-236): a
+    pre-existing string column must survive unmatched rows instead of
+    being overwritten with NULL."""
+    df = spark.createDataFrame(
+        [(0, "match 1", "old0"), (1, "no digits here", "old1")],
+        "id long, message string, num string",
+    )
+    spec = PipelineSpec(parser=ParserSpec(mode="regex",
+                                          regex=r"match (?P<num>\d+)"))
+    rows = {r["id"]: r for r in
+            CompiledPipeline(spec).transform(df).frame.collect()}
+    assert rows[0]["num"] == "1"        # matched: overwritten
+    assert rows[1]["num"] == "old1"     # unmatched: kept
+
+
+def test_csv_short_row_keeps_preexisting_string_column(spark):
+    df = spark.createDataFrame(
+        [(0, "a,b,c", "oldc3"), (1, "only", "kept")],
+        "id long, message string, c3 string",
+    )
+    spec = PipelineSpec(parser=ParserSpec(
+        mode="csv", delimiters=",", columns=["c1", "c2", "c3"]))
+    rows = {r["id"]: r for r in
+            CompiledPipeline(spec).transform(df).frame.collect()}
+    assert rows[0]["c3"] == "c"
+    assert rows[1]["c3"] == "kept"
+
+
+def test_jsonify_attrs_overflow(spark):
+    """Undeclared top-level keys land in the attrs map (reference merges
+    ALL keys, task.go:244-250); declared keys stay typed columns and are
+    excluded from the map; validators resolve undeclared columns against
+    the map."""
+    from pyspark.sql import functions as F
+
+    from logagent_spark.config import ValidatorSpec
+    from logagent_spark.operators.validators import compile_gate
+
+    parser = ParserSpec(mode="jsonify", columns=["k"],
+                        types={"k": "double"}, attrs="attrs")
+    spec = PipelineSpec(parser=parser)
+    msgs = [
+        '{"k": 1, "et": "error", "n": 7}',
+        '{"k": 2}',
+        "corrupt {",
+    ]
+    res = CompiledPipeline(spec).transform(_msg_df(spark, msgs))
+    rows = {r["id"]: r for r in res.frame.collect()}
+    assert rows[0]["k"] == 1.0
+    assert rows[0]["attrs"] == {"et": "error", "n": "7"}
+    assert rows[1]["attrs"] == {}
+    assert rows[2][DROP_COL] == "parse_error:jsonify"
+
+    gate = compile_gate(
+        [ValidatorSpec(mode="required", column="et"),
+         ValidatorSpec(mode="value", column="et", value="error")],
+        res.schema,
+    )
+    ok = {r["id"]: r["ok"] for r in res.frame.select(
+        "id", F.coalesce(gate, F.lit(False)).alias("ok")).collect()}
+    assert ok[0] is True and ok[1] is False
+    # numeric modes on attrs values compile to False (Go: json numbers
+    # are float64, `.(int)` fails — validator.go:69-83)
+    gate_num = compile_gate(
+        [ValidatorSpec(mode="minvalue", column="n", number=1)], res.schema)
+    ok_num = {r["id"]: r["ok"] for r in res.frame.select(
+        "id", F.coalesce(gate_num, F.lit(False)).alias("ok")).collect()}
+    assert ok_num[0] is False

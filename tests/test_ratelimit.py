@@ -148,3 +148,28 @@ try:
         assert adm.sum() <= size + elapsed / leak + 1e-6
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_chunked_batch_matches_unchunked(spark, events):
+    """The hot-key-safe chunked twin must admit exactly the same rows as
+    the single-pass batch operator (state carries across chunks the way
+    the streaming twin carries it across micro-batches)."""
+    from logagent_spark.streaming.ratelimit import rate_limited_batch_chunked
+
+    kw = dict(size=3, leak_interval_s=2.0, payload_cols=["msg_id"],
+              order_cols=["ts", "msg_id"])
+    plain = {(r["host"], r["msg_id"]): r["admitted"]
+             for r in rate_limited_batch(events, "host", "ts", **kw).collect()}
+    chunked = {(r["host"], r["msg_id"]): r["admitted"]
+               for r in rate_limited_batch_chunked(
+                   events, "host", "ts", num_chunks=5, **kw).collect()}
+    assert plain == chunked and len(chunked) == events.count()
+
+
+def test_simulate_bucket_clamps_late_data():
+    """An out-of-order pour (t < last_ts) must not anti-leak (grow fill)
+    nor regress last_ts."""
+    adm, fill, last = simulate_bucket([100.0, 50.0, 100.0], 2, 10.0)
+    # t=50 leaks nothing (late), t=100 again leaks nothing (elapsed 0)
+    assert adm.tolist() == [True, True, False]
+    assert last == 100.0
