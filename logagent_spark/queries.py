@@ -1124,6 +1124,65 @@ FROM n
 
 
 # ---------------------------------------------------------------------------
+# checkpointed resumable run (the reference's offset file done right —
+# plans/checkpoint.py)
+
+def q_checkpoint_resume(spark, sf_dir):
+    """Kill/resume equivalence as a driver-checkable query: split events
+    into 4 input chunks, run 2 chunks, 'die', resume to completion with a
+    FRESH runner, and emit the committed-manifest totals. The oracle is
+    the single-shot aggregation — resume must lose and duplicate
+    nothing."""
+    import os
+    import shutil
+
+    from logagent_spark.plans.checkpoint import CheckpointedRunner
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = f"/tmp/logagent_ckpt_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, out_dir = f"{base}/input", f"{base}/out"
+    _t(spark, sf_dir, "events").repartition(4).write.parquet(in_dir)
+
+    spec = PipelineSpec.from_dict({
+        "Validators": [{"Mode": "minlength", "Column": "props", "Number": 9}],
+        "Handlers": [
+            {"Mode": "stream", "Name": "errors", "Template": "${props}",
+             "Validators": [
+                 {"Mode": "value", "Column": "event_type", "Value": "error"},
+             ]},
+            {"Mode": "stream", "Name": "all_events", "Template": "${props}"},
+        ],
+    })
+    pipe = CompiledPipeline(spec)
+    kw = dict(n_chunks=4, keep=["event_id"])
+    CheckpointedRunner(pipe, out_dir, **kw).run(
+        spark, in_dir, max_chunks=2  # simulated mid-run kill
+    )
+    runner = CheckpointedRunner(pipe, out_dir, **kw)  # fresh process
+    reports = runner.run(spark, in_dir)
+    assert sum(r.resumed for r in reports) == 2, "resume must skip 2 chunks"
+    tot = runner.totals()
+    rows = [("rows_in", tot["rows_in"])]
+    rows += [(f"sink:{k}", v) for k, v in tot["sink_counts"].items()]
+    rows += [(f"drop:{k}", v) for k, v in tot["drop_counts"].items()]
+    return spark.createDataFrame(rows, "name string, n long")
+
+
+SQL_CHECKPOINT_RESUME = """
+SELECT 'rows_in' AS name, count(*) AS n FROM events
+UNION ALL
+SELECT 'sink:errors', count(*) FROM events
+WHERE strlen(props) >= 9 AND event_type = 'error'
+UNION ALL
+SELECT 'sink:all_events', count(*) FROM events WHERE strlen(props) >= 9
+UNION ALL
+SELECT 'drop:validator:minlength:props', count(*) FROM events
+WHERE strlen(props) < 9
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1163,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "embed_text_fake": q_embed_text_fake,
+        "checkpoint_resume": q_checkpoint_resume,
     }
 
 
@@ -1206,4 +1266,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": SQL_MULTIMODAL_META,
         "multimodal_frames": SQL_MULTIMODAL_FRAMES,
         "embed_text_fake": SQL_EMBED_TEXT_FAKE,
+        "checkpoint_resume": SQL_CHECKPOINT_RESUME,
     }
