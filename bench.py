@@ -201,6 +201,13 @@ def stage_breakdown(spark, pages_path: str) -> dict:
     spec_parse = PipelineSpec.from_dict(
         {"Parser": PIPELINE_SPEC["Parser"]}, name="parse_only"
     )
+    # fork the Python-UDF worker pool OUTSIDE the clock: the first UDF
+    # job pays ~32 worker cold-starts (fork + pandas/numpy import),
+    # which is session setup, not operator cost (it inflated the grok
+    # row ~3x when timed cold)
+    CompiledPipeline(spec_parse, regex_strategy="grok").transform(
+        df.limit(32 * 64)
+    ).frame.count()
     t = time.monotonic()
     CompiledPipeline(spec_parse).transform(df).frame.filter(
         F.col("ts").isNotNull()

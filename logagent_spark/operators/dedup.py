@@ -231,6 +231,73 @@ def minhash_near_duplicates(
 
 
 # ---------------------------------------------------------------------------
+# cluster resolution: near-dup PAIRS -> connected components -> winners
+
+def connected_components(
+    pairs: DataFrame, max_iters: int = 50
+) -> DataFrame:
+    """(a, b) edge list -> (id, component) with component = min id
+    reachable, via iterative min-label propagation (alternating
+    large-star/small-star flavor, simplified: each round every node
+    adopts the min label in its neighborhood; converges in O(log n)
+    rounds on real near-dup graphs whose components are tiny cliques).
+
+    Scale notes: the edge list is the CANDIDATE-PAIR output — orders of
+    magnitude smaller than the corpus — so the per-round shuffle is on
+    pairs, never documents. Each round is one groupBy(min) + one join;
+    the driver checks convergence on a count (cheap: labels frame is
+    O(nodes-in-pairs)). GraphFrames does the same dance; this keeps the
+    engine dependency-free."""
+    edges = (
+        pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .union(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select(F.col("x").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    for _ in range(max_iters):
+        # neighbor labels (including own): min per node
+        neigh = (
+            edges.join(labels, edges.y == labels.id)
+            .select(F.col("x").alias("id"), "component")
+            .union(labels.select("id", "component"))
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        # truncate lineage EVERY round: without this the logical plan
+        # nests one join+agg per iteration and Catalyst analysis blows
+        # up around ~10 rounds (the classic iterative-DataFrame trap)
+        neigh = neigh.localCheckpoint(eager=True)
+        changed = (
+            neigh.alias("n")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("n.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = neigh
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_cluster(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Keep one document per near-duplicate CLUSTER (transitive closure
+    of the pair relation): the winner is the min id of its component —
+    deterministic, matching `dedup_exact`'s winner rule. Rows never in
+    any pair keep themselves (anti-join, no shuffle of their content)."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 
 def simhash_udf(num_bits: int = 64):

@@ -97,6 +97,68 @@ def langid(col: Column, langs: list[str] | None = None) -> Column:
     return expr
 
 
+def bigrams(col: Column) -> Column:
+    """Adjacent word bigrams as array<string> ("a b", "b c", ...)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
+    return F.when(
+        n >= 2,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _max_multiplicity(arr: Column) -> Column:
+    """Count of the most frequent element: ONE fold over the sorted array
+    carrying (prev, current-run, best-run) — no explode, no shuffle; the
+    whole statistic stays a scan-side projection. (The x == prev
+    comparison appears twice in the lambda — Catalyst does not CSE inside
+    HOF lambdas — but it's an int-cheap expression.)"""
+    srt = F.array_sort(arr)
+    state = F.aggregate(
+        srt,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    return state["best"]
+
+
+def dup_token_fraction(col: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token:
+    (n - n_distinct) / n — the token-level analog of Gopher's
+    duplicate-line fraction (this corpus has no line structure)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(toks))) / n
+    ).otherwise(F.lit(0.0))
+
+
+def top_bigram_fraction(col: Column) -> Column:
+    """Share of all word-bigrams taken by the single most frequent one
+    (Gopher-style boilerplate/repetition signal)."""
+    bg = bigrams(col)
+    n = F.size(bg)
+    return F.when(n > 0, _max_multiplicity(bg) / n).otherwise(F.lit(0.0))
+
+
 def fingerprint(col: Column) -> Column:
     """Normalized-document fingerprint: md5 over lowercased,
     whitespace-collapsed text (engine-portable: any ANSI SQL system

@@ -1123,6 +1123,86 @@ FROM n
 """
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals, token-level (this corpus has no
+    line structure): duplicate-token fraction and top-bigram share —
+    pure scan-side folds, no explode/shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        _ppm(ts.dup_token_fraction(c)).alias("dup_token_ppm"),
+        _ppm(ts.top_bigram_fraction(c)).alias("top_bigram_ppm"),
+    )
+
+
+SQL_TEXT_REPETITION = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, ' +'), x -> x <> '') AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i + 1])) AS b
+  FROM t WHERE len(toks) >= 2
+), top AS (
+  SELECT doc_id, max(c)::DOUBLE / sum(c) AS frac FROM (
+    SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(floor(CASE WHEN len(toks) > 0
+            THEN ((len(toks) - len(list_distinct(toks)))::DOUBLE / len(toks))
+            ELSE 0.0 END * 1000000) AS BIGINT) AS dup_token_ppm,
+       CAST(floor(coalesce(top.frac, 0.0) * 1000000) AS BIGINT)
+         AS top_bigram_ppm
+FROM t LEFT JOIN top ON t.doc_id = top.doc_id
+"""
+
+
+def q_dedup_cluster_keep(spark, sf_dir):
+    """Cluster-level dedup: near-dup PAIRS -> connected components ->
+    keep min-id per component. The oracle computes the same transitive
+    closure with a recursive CTE over the exact-Jaccard pair set."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_near_duplicates(
+        docs, "doc_id", "text", threshold=0.5, num_hashes=32, bands=16
+    ).select("a", "b")
+    return dd.dedup_cluster(docs, pairs, "doc_id").select("doc_id", "lang")
+
+
+SQL_DEDUP_CLUSTER_KEEP = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, ' +'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(t) >= 5 THEN
+      list_transform(generate_series(1, len(t) - 4),
+                     i -> array_to_string(list_slice(t, i, i + 4), ' '))
+    ELSE [array_to_string(t, ' ')] END) AS s
+  FROM toks
+), p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+), edges AS (
+  SELECT a AS x, b AS y FROM p UNION SELECT b, a FROM p
+), reach AS (
+  SELECT x AS id, x AS r FROM edges
+  UNION
+  SELECT reach.id, e.y FROM reach JOIN edges e ON e.x = reach.r
+), comp AS (
+  SELECT id, min(r) AS component FROM reach GROUP BY id
+)
+SELECT doc_id, lang FROM documents
+WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+"""
+
+
 # ---------------------------------------------------------------------------
 # checkpointed resumable run (the reference's offset file done right —
 # plans/checkpoint.py)
@@ -1223,6 +1303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "embed_text_fake": q_embed_text_fake,
         "checkpoint_resume": q_checkpoint_resume,
+        "text_repetition": q_text_repetition,
+        "dedup_cluster_keep": q_dedup_cluster_keep,
     }
 
 
@@ -1267,4 +1349,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": SQL_MULTIMODAL_FRAMES,
         "embed_text_fake": SQL_EMBED_TEXT_FAKE,
         "checkpoint_resume": SQL_CHECKPOINT_RESUME,
+        "text_repetition": SQL_TEXT_REPETITION,
+        "dedup_cluster_keep": SQL_DEDUP_CLUSTER_KEEP,
     }

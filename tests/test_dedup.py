@@ -169,3 +169,35 @@ def test_minhash_bucket_cap_drops_degenerate_cluster(spark):
         df, "doc_id", "text", threshold=0.5, num_hashes=32, bands=8,
     ).collect()
     assert {(r["a"], r["b"]) for r in uncapped} >= {(0, 1), (8, 9), (100, 101)}
+
+
+def test_connected_components_and_cluster_dedup(spark):
+    """Transitive near-dup clusters: {1,2,3} via chain 1-2, 2-3 plus
+    {7,9}; winners are the min ids; untouched docs survive."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "a long, b long"
+    )
+    comp = {r["id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id long, text string"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_cluster(docs, pairs, "doc_id").collect()
+    )
+    assert kept == [0, 1, 4, 5, 6, 7, 8]
+
+
+def test_connected_components_long_chain(spark):
+    """A path graph needs multiple propagation rounds (min label must
+    travel the chain) — exercises the convergence loop."""
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "a long, b long"
+    )
+    comp = dedup.connected_components(pairs).collect()
+    assert {r["component"] for r in comp} == {0}
+    assert len(comp) == n + 1

@@ -142,3 +142,34 @@ def test_streaming_rate_limited_source_gate(spark, stream_input, tmp_path):
     n_src = src.count()
     n_admitted = admitted.count()
     assert n_admitted < n_src
+
+
+def test_epoch_replay_is_idempotent(spark, stream_input, tmp_path):
+    """foreachBatch is at-least-once: a micro-batch that fails after a
+    (partial or complete) sink write replays with the SAME epoch_id. The
+    writer must overwrite only that epoch's partitions, so a replay
+    changes nothing — this pins the dynamic-partition-overwrite
+    mechanism the streaming writer relies on."""
+    pipe = CompiledPipeline(PipelineSpec.from_dict(SPEC))
+    res = pipe.transform(from_pages(spark.read.parquet(stream_input)))
+    out = pipe.multiplexed(res, keep=["url", "lang"])
+    out_dir = str(tmp_path / "replay_out")
+
+    def write_epoch(df, epoch_id):
+        (
+            df.withColumn("_epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch", "sink")
+            .parquet(out_dir)
+        )
+
+    write_epoch(out, 0)
+    first = spark.read.parquet(out_dir).count()
+    write_epoch(out, 0)          # replayed micro-batch, same epoch
+    write_epoch(out.limit(50), 1)  # later epoch must survive untouched...
+    write_epoch(out.limit(50), 1)  # ...even when IT replays
+    got = spark.read.parquet(out_dir)
+    assert got.filter(F.col("_epoch") == 0).count() == first
+    assert got.filter(F.col("_epoch") == 1).count() == 50
+    assert got.count() == first + 50

@@ -85,3 +85,26 @@ def test_quality_and_ratios_bounded(spark):
     by_id = {r["doc_id"]: r for r in rows}
     assert by_id[0]["quality"] >= 0.75      # clean English prose
     assert by_id[6]["n_tokens"] == 0        # empty doc doesn't divide by zero
+
+
+def test_repetition_stats(spark):
+    from logagent_spark.operators import textstats as ts2
+
+    rows = [
+        (0, "a b a b a b"),          # toks: a,b x3 -> dup 4/6; bigrams:
+                                      # "a b" x3, "b a" x2 -> top 3/5
+        (1, "all unique words here"),
+        (2, "x"),                    # single token: no bigrams
+        (3, ""),                     # empty
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: (r["d"], r["t"]) for r in df.select(
+        "id",
+        F.round(ts2.dup_token_fraction(F.col("text")), 6).alias("d"),
+        F.round(ts2.top_bigram_fraction(F.col("text")), 6).alias("t"),
+    ).collect()}
+    assert got[0] == (round(4 / 6, 6), round(3 / 5, 6))
+    # "all unique","unique words","words here" all distinct -> top 1/3
+    assert got[1] == (0.0, round(1 / 3, 6))
+    assert got[2] == (0.0, 0.0)
+    assert got[3] == (0.0, 0.0)
