@@ -113,6 +113,8 @@ def compile_parser(
         )
 
     if spec.mode == "grok":
+        if regex_strategy == "native":
+            return _compile_grok_dictionary_native(spec.patterns)
         return _compile_grok_dictionary(spec.patterns)
 
     if spec.mode == "jsonify":
@@ -173,6 +175,55 @@ def compile_parser(
         )
 
     raise ValueError(f"unsupported parser mode `{spec.mode}`")
+
+
+def _compile_grok_dictionary_native(
+    patterns: dict[str, str]
+) -> CompiledParser:
+    """Grok dictionary compiled to pure Column expressions (JVM,
+    whole-stage codegen): `grok_pattern` is a when-chain of rlike guards
+    in dictionary order; each group column is a when-chain over ALL
+    patterns (a winning pattern that lacks the group yields NULL, same
+    as the UDF strategy). Each pattern's rlike literally appears in
+    several projections, but ProjectExec's runtime subexpression
+    elimination evaluates it once per row; the per-group regexp_extract
+    re-runs the winning regex — the JVM-vs-Python tradeoff both
+    strategies exist to let users measure (bench.py tracks it)."""
+    order: list[tuple[str, str, dict[str, int]]] = []
+    all_groups: list[str] = []
+    for name, p in patterns.items():
+        pattern = expand_grok(p)
+        groups = go_regex_groups(pattern)
+        order.append((name, to_java_regex(pattern), groups))
+        for g in groups:
+            if g not in all_groups:
+                all_groups.append(g)
+
+    msg = F.col("message")
+    name_expr = F.lit(None).cast(T.StringType())
+    chain = None
+    for name, jpat, _ in order:
+        m = msg.rlike(jpat)
+        chain = F.when(m, F.lit(name)) if chain is None else chain.when(
+            m, F.lit(name)
+        )
+    name_expr = chain if chain is not None else name_expr
+
+    cols: list[tuple[str, Column]] = [("grok_pattern", name_expr)]
+    updates: dict[str, T.DataType] = {"grok_pattern": T.StringType()}
+    for g in all_groups:
+        gchain = None
+        for name, jpat, groups in order:
+            m = msg.rlike(jpat)
+            val = (
+                F.regexp_extract(msg, jpat, groups[g])
+                if g in groups
+                else F.lit(None).cast(T.StringType())
+            )
+            gchain = F.when(m, val) if gchain is None else gchain.when(m, val)
+        cols.append((g, gchain))
+        updates[g] = T.StringType()
+    return CompiledParser(columns=cols, schema_updates=updates)
 
 
 def _compile_grok_dictionary(patterns: dict[str, str]) -> CompiledParser:

@@ -112,6 +112,23 @@ def q_parse_grok_dict(spark, sf_dir):
     return res.frame.select("event_id", "grok_pattern", "kval", "w")
 
 
+def q_parse_grok_dict_udf(spark, sf_dir):
+    """Same dictionary through the Arrow-vectorized pandas-UDF strategy
+    (one re.search per row, all groups off the match object) — both
+    physical strategies answer the same oracle."""
+    spec = PipelineSpec.from_dict({
+        "Parser": {"Mode": "grok", "Patterns": {
+            "kv": r'"k": (?P<kval>\d+)',
+            "word": r"^(?P<w>[a-z]+)",
+        }},
+    })
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "message", F.concat(F.col("event_type"), F.lit(" "), F.col("props"))
+    )
+    res = CompiledPipeline(spec, regex_strategy="grok").transform(ev)
+    return res.frame.select("event_id", "grok_pattern", "kval", "w")
+
+
 SQL_PARSE_GROK_DICT = r"""
 WITH m AS (
   SELECT event_id, event_type || ' ' || props AS message FROM events
@@ -1271,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_csv": q_parse_csv,
         "parse_json": q_parse_json,
         "parse_grok_dict": q_parse_grok_dict,
+        "parse_grok_dict_udf": q_parse_grok_dict_udf,
         "validate_filter": q_validate_filter,
         "rewrite_enrich": q_rewrite_enrich,
         "rewrite_lookup_join": q_rewrite_lookup_join,
@@ -1314,6 +1332,7 @@ def oracle_sql() -> dict[str, str]:
         "parse_csv": SQL_PARSE_CSV,
         "parse_json": SQL_PARSE_JSON,
         "parse_grok_dict": SQL_PARSE_GROK_DICT,
+        "parse_grok_dict_udf": SQL_PARSE_GROK_DICT,
         "validate_filter": SQL_VALIDATE_FILTER,
         "rewrite_enrich": SQL_REWRITE_ENRICH,
         "rewrite_lookup_join": SQL_REWRITE_LOOKUP,

@@ -146,11 +146,12 @@ GROK_MESSAGES = [
 ]
 
 
-def test_grok_dictionary_first_match_wins(spark):
+@pytest.mark.parametrize("strategy", ["native", "grok"])
+def test_grok_dictionary_first_match_wins(spark, strategy):
     from logagent_spark.config import ParserSpec
 
     parser = ParserSpec(mode="grok", patterns=GROK_PATTERNS)
-    got = _run(spark, parser, GROK_MESSAGES)
+    got = _run(spark, parser, GROK_MESSAGES, regex_strategy=strategy)
     want = _oracle(parser, GROK_MESSAGES)
     cols = ["grok_pattern", "ts", "levelname", "body", "k", "v", "num"]
     for g, w in zip(got, want):
