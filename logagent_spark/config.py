@@ -25,7 +25,7 @@ from typing import Any
 VALID_PARSER_MODES = {"csv", "regex", "jsonify", "grok"}
 VALID_REWRITE_MODES = {
     "set", "subst", "mapping", "jsonify", "unjsonify", "command",
-    "splicing", "lookup",
+    "splicing", "lookup", "scrub",
 }
 VALID_VALIDATOR_MODES = {
     "required", "type", "value", "number", "maxvalue", "minvalue",
@@ -95,13 +95,14 @@ class RewriteSpec:
         m = self.mode
         if m not in VALID_REWRITE_MODES:
             raise SpecError(f"unsupported rewriter mode `{m}`")
-        needs_column = {"set", "subst", "mapping", "jsonify", "unjsonify", "command"}
+        needs_column = {"set", "subst", "mapping", "jsonify", "unjsonify",
+                        "command", "scrub"}
         if m in needs_column and not self.column:
             raise SpecError(f"{m} rewrite requires column")
         if m == "subst" and not self.old:
             raise SpecError("subst rewrite requires old")
-        if m == "mapping" and not self.mapping:
-            raise SpecError("mapping rewrite requires mapping")
+        if m in ("mapping", "scrub") and not self.mapping:
+            raise SpecError(f"{m} rewrite requires mapping")
         if m == "command" and not self.command:
             raise SpecError("command rewrite requires command")
         if m == "splicing" and (not self.columns or not self.key):

@@ -167,6 +167,19 @@ def compile_rewrite(spec: RewriteSpec, schema: Schema) -> CompiledRewrite:
             schema_updates={spec.key: T.StringType()},
         )
 
+    if mode == "scrub":
+        # EXTENSION (training-data pipelines): ordered pattern->token
+        # redaction (emails, IPs, ids) as chained regexp_replace — all
+        # occurrences, scan-side, no UDF. Non-string/missing column is a
+        # no-op like subst.
+        dt = schema.get(spec.column)
+        if dt is None or not is_string(dt):
+            return CompiledRewrite()
+        c = F.col(spec.column)
+        for pat, repl in spec.mapping.items():
+            c = F.regexp_replace(c, pat, repl)
+        return CompiledRewrite(columns=[(spec.column, c)])
+
     if mode == "lookup":
         lk = dict(spec.lookup)
         return CompiledRewrite(lookup=lk)

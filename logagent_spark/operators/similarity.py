@@ -84,6 +84,45 @@ def centroid_assignment(
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
+def kmeans_refine(
+    df: DataFrame,
+    emb_col: str,
+    centroids: np.ndarray,
+    *,
+    iters: int = 3,
+) -> np.ndarray:
+    """Distributed Lloyd refinement of the IVF centroids.
+
+    Each round: assignment is the scan-side argmax expression
+    (centroid_assignment — no UDF, no shuffle of vectors beyond the
+    groupBy on the tiny bucket key), the new centroid is one hash
+    aggregate of per-dimension means (dim `avg` exprs — map-side
+    partial aggregation makes this one skinny shuffle of k×dim
+    doubles). Only k×dim floats ever reach the driver per round; at
+    10^12 rows you run this on a sample first, then one final
+    assignment pass. Empty clusters keep their previous centroid.
+    Centroids are re-unit-normalized each round (the index uses
+    dot-product probing on unit centroids)."""
+    cents = np.asarray(centroids, dtype=float)
+    k, dim = cents.shape
+    for _ in range(iters):
+        assigned = df.select(
+            centroid_assignment(F.col(emb_col), cents).alias("_b"),
+            F.col(emb_col).alias("_e"),
+        )
+        means = assigned.groupBy("_b").agg(
+            *[F.avg(F.col("_e")[i]).alias(f"m{i}") for i in range(dim)]
+        ).collect()
+        new = cents.copy()
+        for r in means:
+            v = np.array([r[f"m{i}"] for i in range(dim)], dtype=float)
+            n = np.linalg.norm(v)
+            if n > 0:
+                new[r["_b"]] = v / n
+        cents = new
+    return cents
+
+
 def ivf_index(
     df: DataFrame, emb_col: str, centroids: np.ndarray, bucket_col: str = "ivf_bucket"
 ) -> DataFrame:

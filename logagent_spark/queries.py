@@ -1140,6 +1140,108 @@ FROM n
 """
 
 
+def q_rewrite_scrub(spark, sf_dir):
+    """PII-style redaction (scrub rewrite, engine extension): ordered
+    pattern->token chain — emails first, then IPs, then residual
+    numbers — all occurrences, scan-side regexp_replace."""
+    spec = PipelineSpec.from_dict({
+        "Rewrites": [
+            {"Mode": "scrub", "Column": "message", "Mapping": {
+                r"[A-Za-z0-9+.]+@[A-Za-z0-9.-]+": "<EMAIL>",
+                r"\d+\.\d+\.\d+\.\d+": "<IP>",
+                r"\d+": "<NUM>",
+            }},
+        ],
+    })
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "message",
+        F.concat(
+            F.col("event_type"), F.lit("+"),
+            F.col("user_id").cast("string"), F.lit("@example.com via 10.0.0."),
+            (F.col("event_id") % 256).cast("string"),
+            F.lit(" payload "), F.col("props"),
+        ),
+    )
+    res = CompiledPipeline(spec).transform(ev)
+    return res.frame.select(
+        "event_id", F.col("message").alias("scrubbed")
+    )
+
+
+SQL_REWRITE_SCRUB = r"""
+WITH m AS (
+  SELECT event_id,
+         event_type || '+' || user_id || '@example.com via 10.0.0.'
+         || (event_id % 256) || ' payload ' || props AS msg
+  FROM events
+)
+SELECT event_id,
+       regexp_replace(regexp_replace(regexp_replace(msg,
+         '[A-Za-z0-9+.]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+         '\d+\.\d+\.\d+\.\d+', '<IP>', 'g'),
+         '\d+', '<NUM>', 'g') AS scrubbed
+FROM m
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) + per-session stats: one
+    window on (user, event-time) — lag marks starts, running sum numbers
+    sessions; durations in exact integer microseconds."""
+    from logagent_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(
+        ev, "user_id", "ts", gap_s=1800.0, order_cols=["ts", "event_id"]
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         (epoch_us(ts)/1000000.0)::DOUBLE AS t,
+         lag((epoch_us(ts)/1000000.0)::DOUBLE) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), marked AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN prev IS NULL OR t - prev > 1800.0 THEN 1 ELSE 0 END AS ns
+  FROM g
+), numbered AS (
+  SELECT user_id, us,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_n
+  FROM marked
+)
+SELECT user_id, session_n, count(*) AS n_events,
+       max(us) - min(us) AS duration_us
+FROM numbered GROUP BY 1, 2
+"""
+
+
+def q_ann_ivf_kmeans_fullprobe(spark, sf_dir):
+    """Distributed Lloyd-refined IVF, gated by the full-probe
+    equivalence invariant: with nprobe = n_centroids the ANN result must
+    equal exact brute force WHATEVER the (data-dependent) centroids are
+    — so the refinement path gets a hard oracle without embedding
+    centroids in SQL."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = sim.kmeans_refine(
+        emb, "embedding", sim.seeded_centroids(64, 8, seed=1), iters=2
+    )
+    indexed = sim.ivf_index(emb, "embedding", cents)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    probes = sim.ivf_probes(cents, q, 8)  # full probe
+    pruned = indexed.filter(F.col("ivf_bucket").isin(probes))
+    scored = pruned.select(
+        "vec_id",
+        _ppm(sim.cosine_to_query(F.col("embedding"), q)).alias("cos_ppm"),
+    )
+    return scored.orderBy(F.col("cos_ppm").desc(), F.col("vec_id")).limit(10)
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition signals, token-level (this corpus has no
     line structure): duplicate-token fraction and top-bigram share —
@@ -1310,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_kmeans_fullprobe": q_ann_ivf_kmeans_fullprobe,
         "embedding_near_dup": q_embedding_near_dup,
         "rate_limit_admit": q_rate_limit_admit,
         "parse_json_dynamic": q_parse_json_dynamic,
@@ -1317,10 +1420,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rewrite_jsonify_splice": q_rewrite_jsonify_splice,
         "rewrite_unjsonify": q_rewrite_unjsonify,
         "rewrite_command": q_rewrite_command,
+        "rewrite_scrub": q_rewrite_scrub,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "embed_text_fake": q_embed_text_fake,
         "checkpoint_resume": q_checkpoint_resume,
+        "sessionize": q_sessionize,
         "text_repetition": q_text_repetition,
         "dedup_cluster_keep": q_dedup_cluster_keep,
     }
@@ -1357,6 +1462,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
         "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+        "ann_ivf_kmeans_fullprobe": SQL_SIMILARITY_TOPK,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "rate_limit_admit": SQL_RATE_LIMIT_ADMIT,
         "parse_json_dynamic": SQL_PARSE_JSON_DYNAMIC,
@@ -1364,10 +1470,12 @@ def oracle_sql() -> dict[str, str]:
         "rewrite_jsonify_splice": SQL_REWRITE_JSONIFY_SPLICE,
         "rewrite_unjsonify": SQL_REWRITE_UNJSONIFY,
         "rewrite_command": SQL_REWRITE_COMMAND,
+        "rewrite_scrub": SQL_REWRITE_SCRUB,
         "multimodal_meta": SQL_MULTIMODAL_META,
         "multimodal_frames": SQL_MULTIMODAL_FRAMES,
         "embed_text_fake": SQL_EMBED_TEXT_FAKE,
         "checkpoint_resume": SQL_CHECKPOINT_RESUME,
+        "sessionize": SQL_SESSIONIZE,
         "text_repetition": SQL_TEXT_REPETITION,
         "dedup_cluster_keep": SQL_DEDUP_CLUSTER_KEEP,
     }

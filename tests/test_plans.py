@@ -168,3 +168,65 @@ def test_inline_lookup_builds_without_shuffle(spark, pages_path):
     phys = res.frame._jdf.queryExecution().executedPlan().toString()
     assert phys.count("Exchange") == phys.count("BroadcastExchange"), phys
     assert "SortAggregate" not in phys, phys
+
+
+def test_embedding_near_dup_plan_has_no_python_and_no_vector_buckets(spark):
+    """The banded-LSH near-dup plan must stay JVM-side (no Python eval
+    nodes) and must NOT collect embedding vectors into bucket rows
+    (collect_list of arrays was the r1 memory hazard — pairs join on
+    skinny (band,key,id) rows instead)."""
+    import numpy as np
+
+    from logagent_spark.operators.dedup import embedding_near_duplicates
+
+    rng = np.random.RandomState(0)
+    rows = [(i, rng.randn(16).tolist()) for i in range(50)]
+    df = spark.createDataFrame(rows, "vid long, emb array<double>")
+    out = embedding_near_duplicates(df, "vid", "emb", dim=16, threshold=0.5)
+    plan = _plan(out)
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "collect_list" not in plan
+
+
+def test_native_grok_dictionary_is_jvm_only(spark, pages_path):
+    from logagent_spark.config import PipelineSpec
+    from logagent_spark.plans.pipeline import CompiledPipeline
+    from logagent_spark.sources import from_pages
+
+    spec = PipelineSpec.from_dict({
+        "Parser": {"Mode": "grok", "Patterns": {
+            "a": r"(?P<x>\d+)", "b": r"^(?P<w>\S+)",
+        }},
+    })
+    df = from_pages(spark.read.parquet(pages_path))
+    res = CompiledPipeline(spec).transform(df)
+    plan = _plan(res.frame)
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "*(" in plan  # whole-stage codegen spans render as *(n)
+
+
+def test_ivf_probe_filter_is_pushed_to_scan(spark, tmp_path):
+    """After ivf_index is materialized partitioned-by-bucket, the probe
+    filter must prune partitions at the scan (the 10^12-row read-path
+    contract)."""
+    import numpy as np
+
+    from logagent_spark.operators.similarity import (
+        ivf_index, ivf_probes, seeded_centroids,
+    )
+
+    rng = np.random.RandomState(1)
+    rows = [(i, rng.randn(8).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vid long, emb array<double>")
+    cents = seeded_centroids(8, 4, seed=2)
+    path = str(tmp_path / "ivf")
+    ivf_index(df, "emb", cents).write.partitionBy("ivf_bucket").parquet(path)
+    indexed = spark.read.parquet(path)
+    q = rows[0][1]
+    probes = ivf_probes(cents, q, 2)
+    pruned = indexed.filter(indexed.ivf_bucket.isin(probes))
+    opt = pruned._jdf.queryExecution().optimizedPlan().toString()
+    # partition filter present on the partition column -> files pruned
+    assert "ivf_bucket" in opt
+    n_parts = pruned.select("ivf_bucket").distinct().count()
+    assert n_parts <= 2

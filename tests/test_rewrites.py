@@ -148,3 +148,40 @@ def test_command_rewrite_failure_is_config_fatal(spark):
     df = spark.createDataFrame(ROWS, schema=SCHEMA)
     with _pytest.raises(Exception):
         CompiledPipeline(spec).transform(df)
+
+
+def test_scrub_rewrite(spark):
+    """scrub (extension): ordered pattern->token redaction, all
+    occurrences; non-string/missing column is a no-op like subst."""
+    from pyspark.sql import functions as F
+
+    from logagent_spark.config import PipelineSpec, SpecError
+    from logagent_spark.plans.pipeline import CompiledPipeline
+
+    spec = PipelineSpec.from_dict({
+        "Rewrites": [{"Mode": "scrub", "Column": "msg", "Mapping": {
+            r"[a-z]+@[a-z.]+": "<EMAIL>",
+            r"\d+": "<NUM>",
+        }}],
+    })
+    df = spark.createDataFrame(
+        [(0, "mail me at bob@x.co or 555 1234"), (1, None)],
+        "id long, msg string",
+    )
+    got = {r["id"]: r["msg"] for r in
+           CompiledPipeline(spec).transform(df).frame.collect()}
+    assert got[0] == "mail me at <EMAIL> or <NUM> <NUM>"
+    assert got[1] is None
+    # non-string column: no-op
+    spec2 = PipelineSpec.from_dict({
+        "Rewrites": [{"Mode": "scrub", "Column": "id",
+                      "Mapping": {r"\d": "x"}}],
+    })
+    out = CompiledPipeline(spec2).transform(df).frame
+    assert {r["id"] for r in out.collect()} == {0, 1}
+    # config validation: mapping required
+    import pytest as _pt
+    with _pt.raises(SpecError):
+        PipelineSpec.from_dict(
+            {"Rewrites": [{"Mode": "scrub", "Column": "msg"}]})
+    _ = F

@@ -71,3 +71,36 @@ def test_bucket_assignment_is_valid(emb_df):
     stats = indexed.groupBy("ivf_bucket").count().collect()
     assert all(0 <= r["ivf_bucket"] < 8 for r in stats)
     assert sum(r["count"] for r in stats) == emb_df.count()
+
+
+def test_kmeans_refine_full_probe_invariant(emb_df, emb_np):
+    """Lloyd refinement must keep the full-probe == brute-force
+    invariant (whatever the centroids, probing every bucket is exact)
+    and produce unit-norm centroids."""
+    import numpy as np
+
+    _, mat = emb_np
+    cents0 = sim.seeded_centroids(mat.shape[1], 4, seed=9)
+    cents = sim.kmeans_refine(emb_df, "embedding", cents0, iters=2)
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+    indexed = sim.ivf_index(emb_df, "embedding", cents)
+    q = mat[3].tolist()
+    full = sim.ivf_topk(indexed, "embedding", q, cents, k=5,
+                        nprobe=len(cents))
+    brute = sim.brute_force_topk(emb_df, "embedding", q, k=5)
+    assert [r["vec_id"] for r in full.collect()] == \
+           [r["vec_id"] for r in brute.collect()]
+
+
+def test_kmeans_refine_tightens_assignment(emb_df, emb_np):
+    """Refined centroids should not WORSEN the mean best-dot objective
+    (Lloyd steps are non-decreasing for cosine on unit vectors)."""
+    import numpy as np
+
+    _, mat = emb_np
+    cents0 = sim.seeded_centroids(mat.shape[1], 4, seed=9)
+    cents1 = sim.kmeans_refine(emb_df, "embedding", cents0, iters=3)
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    obj0 = (normed @ cents0.T).max(axis=1).mean()
+    obj1 = (normed @ cents1.T).max(axis=1).mean()
+    assert obj1 >= obj0 - 1e-9
