@@ -204,9 +204,11 @@ def stage_breakdown(spark, pages_path: str) -> dict:
     # fork the Python-UDF worker pool OUTSIDE the clock: the first UDF
     # job pays ~32 worker cold-starts (fork + pandas/numpy import),
     # which is session setup, not operator cost (it inflated the grok
-    # row ~3x when timed cold)
+    # row ~3x when timed cold). The warmup must touch EVERY partition —
+    # a limit() collapses to one task and forks one worker; a narrow
+    # sample keeps all input splits and forks the whole pool.
     CompiledPipeline(spec_parse, regex_strategy="grok").transform(
-        df.limit(32 * 64)
+        df.sample(0.002, seed=1)
     ).frame.count()
     t = time.monotonic()
     CompiledPipeline(spec_parse).transform(df).frame.filter(
@@ -333,7 +335,7 @@ def lsh_recall(spark, cap: int = 1000) -> dict:
             "sec": round(time.monotonic() - t0, 2),
         }
     # headline = the shipped parameterization (queries.py)
-    shipped = out["configs"]["p8c3"]
+    shipped = out["configs"]["p8c4"]
     out["lsh_pairs"] = shipped["pairs"]
     out["recall"] = shipped["recall"]
     return out
@@ -460,7 +462,7 @@ def main() -> None:
                 f"{k}: recall {v['recall']} ({v['pairs']} pairs, {v['sec']}s)"
                 for k, v in recall["configs"].items()
             )
-            + ". Shipped gate config = p8c3. The exact baseline is the "
+            + ". Shipped gate config = p8c4. The exact baseline is the "
             "recall gate only — it is not among the benched plans.\n"
         )
 

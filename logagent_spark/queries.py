@@ -754,6 +754,9 @@ SQL_ANN_IVF_TOPK = _sql_ann_ivf()
 
 
 _NDUP_N_PLANES = 8
+_NDUP_N_CHUNKS = 4  # 4 bands of 2 bits: pairs within hamming<=3 always
+                    # collide; measured recall 0.89 vs 0.71 at 3 bands
+                    # on the driver corpus (BENCH.md sweep)
 _NDUP_PLANES = dd.seeded_planes(_NDUP_N_PLANES, 64, seed=42)
 _NDUP_THRESHOLD_PPM = 400000
 
@@ -768,7 +771,7 @@ def q_embedding_near_dup(spark, sf_dir):
     )
     cand = dd.embedding_candidate_pairs(
         emb, "vec_id", "embedding", dim=64,
-        n_planes=_NDUP_N_PLANES, seed=42, n_chunks=3,
+        n_planes=_NDUP_N_PLANES, seed=42, n_chunks=_NDUP_N_CHUNKS,
     )
     return cand.select(
         "a", "b", _ppm(F.col("cos")).alias("cos_ppm")
@@ -783,7 +786,7 @@ def _sql_embedding_near_dup() -> str:
     )
     bands = "\n    OR ".join(
         "(" + " AND ".join(f"x.b{i} = y.b{i}" for i in idxs) + ")"
-        for idxs in dd.plane_chunks(_NDUP_N_PLANES, 3)
+        for idxs in dd.plane_chunks(_NDUP_N_PLANES, _NDUP_N_CHUNKS)
     )
     cos = "CAST(floor(list_cosine_similarity(x.e, y.e) * 1000000) AS BIGINT)"
     return f"""
@@ -1242,6 +1245,161 @@ def q_ann_ivf_kmeans_fullprobe(spark, sf_dir):
     return scored.orderBy(F.col("cos_ppm").desc(), F.col("vec_id")).limit(10)
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (union-and-carry, no range join): every event picks
+    the nearest preceding snapshot of its event_type. The oracle is
+    DuckDB's NATIVE ASOF JOIN — two independent implementations of the
+    operator. Snapshots are a deterministic sparse subset (every 97th
+    event), deduped per (key, ts) as the operator requires."""
+    from logagent_spark.operators.asof import asof_join_backward
+
+    ev = _t(spark, sf_dir, "events")
+    snaps = (
+        ev.filter(F.col("event_id") % 97 == 0)
+        .groupBy("event_type", F.col("ts").alias("snap_ts"))
+        .agg(F.max("value").alias("snap_value"))
+    )
+    out = asof_join_backward(
+        ev.select("event_id", "event_type", "ts"), snaps,
+        key="event_type", left_ts="ts", right_ts="snap_ts",
+        value_cols=["snap_value"], order_cols=["event_id"],
+    )
+    return out.select(
+        "event_id", "event_type",
+        _ppm(F.col("snap_value")).alias("snap_ppm"),
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH snaps AS (
+  SELECT event_type, ts AS snap_ts, max(value) AS snap_value
+  FROM events WHERE event_id % 97 = 0 GROUP BY 1, 2
+)
+SELECT l.event_id, l.event_type,
+       CAST(floor(r.snap_value * 1000000) AS BIGINT) AS snap_ppm
+FROM events l ASOF LEFT JOIN snaps r
+  ON l.event_type = r.event_type AND l.ts >= r.snap_ts
+"""
+
+
+def _cents(col) -> F.Column:
+    return F.floor(col * 100).cast("long")
+
+
+def q_tpch_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary over lineitem. Money sums in
+    exact integer cents (floor(x*100) per row BEFORE summing) so the
+    aggregate is order-independent and engine-portable — summing raw
+    doubles would make the hash depend on partial-aggregation order."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    )
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_c"),
+        F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_c"),
+        F.sum(_cents(disc)).alias("sum_disc_c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_TPCH_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+         AS sum_qty_c,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_base_c,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS sum_disc_c,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_top_orders(spark, sf_dir):
+    """TPC-H Q3-shaped: top-10 highest-revenue unshipped BUILDING
+    orders. Dim side (filtered customers) broadcasts; orderBy+limit
+    compiles to TakeOrderedAndProject."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    j = (
+        orders.join(F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+    )
+    rev = j.groupBy("l_orderkey", "o_orderdate").agg(
+        F.sum(_cents(disc)).alias("revenue_c")
+    )
+    return rev.orderBy(
+        F.col("revenue_c").desc(), F.col("l_orderkey")
+    ).limit(10)
+
+
+SQL_TPCH_TOP_ORDERS = """
+SELECT l_orderkey, o_orderdate,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_c
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2
+ORDER BY revenue_c DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_tpch_region_revenue(spark, sf_dir):
+    """TPC-H Q5-shaped: per-nation revenue for ASIA with local
+    suppliers. Every dimension broadcasts (region/nation/supplier/
+    customer); only orders-lineitem shuffles on the join key."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp),
+              (li.l_suppkey == supp.s_suppkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(F.sum(_cents(disc)).alias("revenue_c"))
+
+
+SQL_TPCH_REGION_REVENUE = """
+SELECT n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_c
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition signals, token-level (this corpus has no
     line structure): duplicate-token fraction and top-bigram share —
@@ -1425,6 +1583,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "embed_text_fake": q_embed_text_fake,
         "checkpoint_resume": q_checkpoint_resume,
+        "asof_join": q_asof_join,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "tpch_top_orders": q_tpch_top_orders,
+        "tpch_region_revenue": q_tpch_region_revenue,
         "sessionize": q_sessionize,
         "text_repetition": q_text_repetition,
         "dedup_cluster_keep": q_dedup_cluster_keep,
@@ -1475,6 +1637,10 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": SQL_MULTIMODAL_FRAMES,
         "embed_text_fake": SQL_EMBED_TEXT_FAKE,
         "checkpoint_resume": SQL_CHECKPOINT_RESUME,
+        "asof_join": SQL_ASOF_JOIN,
+        "tpch_pricing_summary": SQL_TPCH_PRICING,
+        "tpch_top_orders": SQL_TPCH_TOP_ORDERS,
+        "tpch_region_revenue": SQL_TPCH_REGION_REVENUE,
         "sessionize": SQL_SESSIONIZE,
         "text_repetition": SQL_TEXT_REPETITION,
         "dedup_cluster_keep": SQL_DEDUP_CLUSTER_KEEP,
