@@ -1187,6 +1187,29 @@ FROM m
 """
 
 
+def q_agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per key (log-latency analytics).
+    Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    interpolation definition, so the values hash identically (verified
+    bit-for-bit at sf0.01). At 10^12 rows swap in approx_percentile —
+    the exact form is the oracle-checkable twin."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        _ppm(F.percentile("value", F.lit(0.5))).alias("p50_ppm"),
+        _ppm(F.percentile("value", F.lit(0.95))).alias("p95_ppm"),
+        _ppm(F.percentile("value", F.lit(0.99))).alias("p99_ppm"),
+    )
+
+
+SQL_AGG_PERCENTILES = """
+SELECT event_type,
+       CAST(floor(quantile_cont(value, 0.5) * 1000000) AS BIGINT) AS p50_ppm,
+       CAST(floor(quantile_cont(value, 0.95) * 1000000) AS BIGINT) AS p95_ppm,
+       CAST(floor(quantile_cont(value, 0.99) * 1000000) AS BIGINT) AS p99_ppm
+FROM events GROUP BY 1
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min gap) + per-session stats: one
     window on (user, event-time) — lag marks starts, running sum numbers
@@ -1587,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_top_orders": q_tpch_top_orders,
         "tpch_region_revenue": q_tpch_region_revenue,
+        "agg_percentiles": q_agg_percentiles,
         "sessionize": q_sessionize,
         "text_repetition": q_text_repetition,
         "dedup_cluster_keep": q_dedup_cluster_keep,
@@ -1641,6 +1665,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_pricing_summary": SQL_TPCH_PRICING,
         "tpch_top_orders": SQL_TPCH_TOP_ORDERS,
         "tpch_region_revenue": SQL_TPCH_REGION_REVENUE,
+        "agg_percentiles": SQL_AGG_PERCENTILES,
         "sessionize": SQL_SESSIONIZE,
         "text_repetition": SQL_TEXT_REPETITION,
         "dedup_cluster_keep": SQL_DEDUP_CLUSTER_KEEP,

@@ -94,6 +94,43 @@ def start_streaming_pipeline(
     )
 
 
+def streaming_session_counts(
+    spark: SparkSession,
+    input_dir: str,
+    *,
+    schema: T.StructType,
+    key_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    source_adapter=None,
+    query_name: str = "session_counts",
+):
+    """Native Structured-Streaming sessionization: `session_window`
+    merges events within `gap` per key; the watermark bounds state (a
+    session closes once the watermark passes its end, so state volume is
+    O(open sessions), not O(history)). The batch twin is
+    operators/sessions.sessionize, with one boundary divergence: an
+    event at EXACTLY gap seconds stays in-session in the batch operator
+    (> splits) but opens a new session here (session_window spans are
+    half-open [start, start+gap))."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    if source_adapter is not None:
+        stream = source_adapter(stream)
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_sink_counts(
     pipe: CompiledPipeline,
     spark: SparkSession,

@@ -173,3 +173,41 @@ def test_epoch_replay_is_idempotent(spark, stream_input, tmp_path):
     assert got.filter(F.col("_epoch") == 0).count() == first
     assert got.filter(F.col("_epoch") == 1).count() == 50
     assert got.count() == first + 50
+
+
+def test_streaming_session_window_matches_batch_sessionize(spark, tmp_path):
+    """session_window (streaming) and the batch window sessionizer must
+    agree on session count and per-session event counts for the same
+    gap."""
+    from logagent_spark.operators.sessions import session_stats
+    from logagent_spark.streaming.pipeline import streaming_session_counts
+
+    rows = []
+    for uid in (1, 2):
+        # bursts 10 min apart inside sessions, 2 h between sessions
+        for s0 in (0, 7200, 14400):
+            for i in range(3):
+                rows.append((uid, float(uid * 100000 + s0 + i * 600),
+                             len(rows)))
+    src = spark.createDataFrame(
+        rows, "uid long, sec double, eid long"
+    ).select("uid", F.timestamp_seconds("sec").alias("ts"), "eid")
+    in_dir = str(tmp_path / "sess_in")
+    src.write.parquet(in_dir)
+
+    q = streaming_session_counts(
+        spark, in_dir, schema=spark.read.parquet(in_dir).schema,
+        key_col="uid", ts_col="ts", gap="30 minutes",
+        query_name="sess_test",
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["uid"], r["n_events"])
+        for r in spark.sql("select * from sess_test").collect()
+    )
+    want = sorted(
+        (r["uid"], r["n_events"])
+        for r in session_stats(src, "uid", "ts", gap_s=1800.0,
+                               order_cols=["ts", "eid"]).collect()
+    )
+    assert got == want and len(got) == 6
