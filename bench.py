@@ -315,30 +315,77 @@ def lsh_recall(spark, cap: int = 1000) -> dict:
         .filter(F.col("p") >= thr)
         .collect()
     }
+    all_pairs = cap * (cap - 1) // 2
     out = {"sample": cap, "exact_pairs": len(exact), "configs": {}}
-    for n_planes, n_chunks in [(8, 3), (8, 4), (12, 4)]:
+    for n_planes, n_chunks in [(8, 3), (8, 4), (12, 4), (16, 4)]:
         t0 = time.monotonic()
-        lsh = {
-            (r["a"], r["b"])
-            for r in embedding_candidate_pairs(
-                emb, "vec_id", "embedding", dim=64, n_planes=n_planes,
-                seed=42, n_chunks=n_chunks,
-            )
-            .select("a", "b", ppm(F.col("cos")).alias("p"))
-            .filter(F.col("p") >= thr)
-            .collect()
-        }
+        cand = embedding_candidate_pairs(
+            emb, "vec_id", "embedding", dim=64, n_planes=n_planes,
+            seed=42, n_chunks=n_chunks,
+        ).select("a", "b", ppm(F.col("cos")).alias("p")).persist()
+        n_cand = cand.count()
+        lsh = {(r["a"], r["b"])
+               for r in cand.filter(F.col("p") >= thr).collect()}
+        cand.unpersist()
         out["configs"][f"p{n_planes}c{n_chunks}"] = {
             "pairs": len(lsh),
             "recall": round(len(lsh & exact) / len(exact), 4)
             if exact else 1.0,
+            "cand_frac": round(n_cand / all_pairs, 3),
             "sec": round(time.monotonic() - t0, 2),
         }
     # headline = the shipped parameterization (queries.py)
     shipped = out["configs"]["p8c4"]
     out["lsh_pairs"] = shipped["pairs"]
     out["recall"] = shipped["recall"]
+    out["planted"] = _lsh_planted_regime(emb.sparkSession)
     return out
+
+
+def _lsh_planted_regime(spark) -> dict:
+    """Production-regime evidence: the driver corpus has no cos>=0.9
+    pairs (its 0.4-threshold gate stresses the WORST case for hyperplane
+    LSH — 66-degree 'near'-dups). Plant 60 true near-dup pairs at
+    cos~0.95 in 1000 seeded vectors and measure recall + candidate
+    pruning at threshold 0.9 — the regime a real dedup pipeline runs."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from logagent_spark.operators.dedup import embedding_candidate_pairs
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(1000, 64)
+    for i in range(60):  # pair (i, 500+i): small perturbation
+        base[500 + i] = base[i] + 0.18 * rng.randn(64)
+    rows = [(i, base[i].tolist()) for i in range(1000)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ppm = lambda c: F.floor(c * 1000000).cast("long")  # noqa: E731
+    out = {}
+    for n_planes, n_chunks in [(8, 4), (16, 4)]:
+        cand = embedding_candidate_pairs(
+            df, "vec_id", "embedding", dim=64, n_planes=n_planes,
+            seed=42, n_chunks=n_chunks,
+        ).select("a", "b", ppm(F.col("cos")).alias("p")).persist()
+        n_cand = cand.count()
+        got = {(r["a"], r["b"])
+               for r in cand.filter(F.col("p") >= 900000).collect()}
+        cand.unpersist()
+        true = {(i, 500 + i) for i in range(60)
+                if _cos_np(base[i], base[500 + i]) >= 0.9}
+        out[f"p{n_planes}c{n_chunks}"] = {
+            "recall_at_0.9": round(
+                len(got & true) / len(true), 4) if true else 1.0,
+            "cand_frac": round(n_cand / (1000 * 999 // 2), 3),
+            "true_pairs": len(true),
+        }
+    return out
+
+
+def _cos_np(a, b) -> float:
+    import numpy as np
+
+    return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
 
 
 def main() -> None:
@@ -456,14 +503,24 @@ def main() -> None:
             f"{queries['parse_grok_udf'] / queries['parse_native']:.2f}x.\n\n"
             f"Hyperplane-LSH near-dup recall vs exact all-pairs at the same "
             f"ppm threshold (capped sample of {recall['sample']} vectors, "
-            f"{recall['exact_pairs']} true pairs; recall/cost is the tunable "
-            f"— more planes+bands buy recall with more candidates): "
+            f"{recall['exact_pairs']} true pairs; cand_frac = candidate "
+            f"pairs / all pairs, the pruning power): "
             + ", ".join(
-                f"{k}: recall {v['recall']} ({v['pairs']} pairs, {v['sec']}s)"
+                f"{k}: recall {v['recall']}, cand_frac {v['cand_frac']}"
+                f" ({v['sec']}s)"
                 for k, v in recall["configs"].items()
             )
-            + ". Shipped gate config = p8c4. The exact baseline is the "
-            "recall gate only — it is not among the benched plans.\n"
+            + ". Shipped gate config = p8c4. NOTE the gate threshold 0.4 "
+            "(66-degree pairs) is hyperplane-LSH's worst case - pruning "
+            "there is weak by construction. Production regime (planted "
+            "cos~0.95 pairs, threshold 0.9): "
+            + ", ".join(
+                f"{k}: recall {v['recall_at_0.9']}, cand_frac "
+                f"{v['cand_frac']}"
+                for k, v in recall["planted"].items()
+            )
+            + ". The exact baseline is the recall gate only - it is not "
+            "among the benched plans.\n"
         )
 
 
