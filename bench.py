@@ -342,6 +342,49 @@ def lsh_recall(spark, cap: int = 1000) -> dict:
     return out
 
 
+def lsh_scale_100k(spark, pages_path: str) -> dict:
+    """Scale demonstration: banded hyperplane LSH near-dup over ~100k
+    vectors derived scan-side from the pages corpus (md5-byte embeddings,
+    pure Column exprs — no UDF anywhere in the job). 48 planes in 4
+    bands = 12-bit bucket keys, so candidates ~ 4 * n^2 / 4096 — the
+    banding knob that keeps the operator sub-quadratic as n grows."""
+    from pyspark.sql import functions as F
+
+    from logagent_spark.operators.dedup import embedding_candidate_pairs
+
+    dim = 16
+    df = (
+        spark.read.parquet(pages_path)
+        .filter(F.crc32(F.col("url")) % 40 == 0)  # ~100k of 4M, no limit-collapse
+        .withColumn("_h", F.md5("text"))
+        .select(
+            F.col("url").alias("vec_id"),
+            F.array(*[
+                (F.conv(F.substring("_h", 1 + i * 2, 2), 16, 10)
+                 .cast("int") - 128).cast("double")
+                for i in range(dim)
+            ]).alias("embedding"),
+        )
+    )
+    n = df.count()
+    t0 = time.monotonic()
+    cand = embedding_candidate_pairs(
+        df, "vec_id", "embedding", dim=dim, n_planes=48, seed=42,
+        n_chunks=4,
+    ).persist()
+    n_cand = cand.count()
+    n_dups = cand.filter(F.col("cos") >= 0.9).count()
+    sec = time.monotonic() - t0
+    cand.unpersist()
+    return {
+        "n_vectors": n,
+        "candidates": n_cand,
+        "cand_frac": round(n_cand / (n * (n - 1) / 2), 6),
+        "pairs_cos_0.9": n_dups,
+        "sec": round(sec, 2),
+    }
+
+
 def _lsh_planted_regime(spark) -> dict:
     """Production-regime evidence: the driver corpus has no cos>=0.9
     pairs (its 0.4-threshold gate stresses the WORST case for hyperplane
@@ -423,6 +466,7 @@ def main() -> None:
         {k: round(v, 3) for k, v in operator_queries(spark).items()}
     )
     recall = lsh_recall(spark)
+    scale100k = lsh_scale_100k(spark, pages)
     spark.stop()
 
     # persist per-level minima across invocations: contention bursts on a
@@ -454,6 +498,7 @@ def main() -> None:
         "unit": "docs/sec",
         "queries": queries,
         "lsh": recall,
+        "lsh_scale_100k": scale100k,
         "grok_udf_tax": round(
             queries["parse_grok_udf"] / queries["parse_native"], 2
         ),
@@ -520,7 +565,14 @@ def main() -> None:
                 for k, v in recall["planted"].items()
             )
             + ". The exact baseline is the recall gate only - it is not "
-            "among the benched plans.\n"
+            "among the benched plans.\n\n"
+            f"LSH at scale: {scale100k['n_vectors']:,} scan-side md5 "
+            f"embeddings, 48 planes / 4 bands (12-bit keys) -> "
+            f"{scale100k['candidates']:,} candidates "
+            f"(cand_frac {scale100k['cand_frac']}), "
+            f"{scale100k['pairs_cos_0.9']} pairs at cos>=0.9, "
+            f"{scale100k['sec']}s end-to-end - the banding exponent is "
+            "what keeps candidates sub-quadratic as n grows.\n"
         )
 
 

@@ -230,3 +230,14 @@ def test_ivf_probe_filter_is_pushed_to_scan(spark, tmp_path):
     assert "ivf_bucket" in opt
     n_parts = pruned.select("ivf_bucket").distinct().count()
     assert n_parts <= 2
+
+
+def test_tpch_region_revenue_broadcasts_all_dims(spark):
+    """The Q5-shaped star join must broadcast every dimension: exactly
+    the fact-fact join (orders-lineitem) may shuffle."""
+    import logagent_spark.queries as q
+
+    df = q.q_tpch_region_revenue(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
