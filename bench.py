@@ -188,7 +188,8 @@ def _run_worker(parallelism: int) -> dict:
 
 def stage_breakdown(spark, pages_path: str) -> dict:
     """Per-stage wall times (each stage timed as an incremental count-only
-    plan — shows where the scan budget goes)."""
+    plan, min of 2 runs — shows where the scan budget goes without
+    run-to-run GC/page-cache noise picking the winner)."""
     from pyspark.sql import functions as F
 
     from logagent_spark.config import PipelineSpec
@@ -210,17 +211,21 @@ def stage_breakdown(spark, pages_path: str) -> dict:
     CompiledPipeline(spec_parse, regex_strategy="grok").transform(
         df.sample(0.002, seed=1)
     ).frame.count()
-    t = time.monotonic()
-    CompiledPipeline(spec_parse).transform(df).frame.filter(
-        F.col("ts").isNotNull()
-    ).count()
-    out["parse_native"] = time.monotonic() - t
 
-    t = time.monotonic()
-    CompiledPipeline(spec_parse, regex_strategy="grok").transform(df).frame.filter(
-        F.col("ts").isNotNull()
-    ).count()
-    out["parse_grok_udf"] = time.monotonic() - t
+    def timed(name: str, fn, runs: int = 2) -> None:
+        best = None
+        for _ in range(runs):
+            t = time.monotonic()
+            fn()
+            dt = time.monotonic() - t
+            best = dt if best is None else min(best, dt)
+        out[name] = best
+
+    timed("parse_native", lambda: CompiledPipeline(spec_parse)
+          .transform(df).frame.filter(F.col("ts").isNotNull()).count())
+    timed("parse_grok_udf",
+          lambda: CompiledPipeline(spec_parse, regex_strategy="grok")
+          .transform(df).frame.filter(F.col("ts").isNotNull()).count())
 
     # grok DICTIONARY strategies head-to-head (3 ordered patterns, last
     # one catches everything): JVM when-chain vs Arrow pandas UDF
@@ -232,16 +237,13 @@ def stage_breakdown(spark, pages_path: str) -> dict:
         }}},
         name="dict",
     )
-    t = time.monotonic()
-    CompiledPipeline(dict_spec).transform(df).frame.filter(
-        F.col("grok_pattern").isNotNull()
-    ).count()
-    out["parse_dict_native"] = time.monotonic() - t
-    t = time.monotonic()
-    CompiledPipeline(dict_spec, regex_strategy="grok").transform(df).frame.filter(
-        F.col("grok_pattern").isNotNull()
-    ).count()
-    out["parse_dict_udf"] = time.monotonic() - t
+    timed("parse_dict_native", lambda: CompiledPipeline(dict_spec)
+          .transform(df).frame.filter(F.col("grok_pattern").isNotNull())
+          .count())
+    timed("parse_dict_udf",
+          lambda: CompiledPipeline(dict_spec, regex_strategy="grok")
+          .transform(df).frame.filter(F.col("grok_pattern").isNotNull())
+          .count())
 
     spec_enrich = PipelineSpec.from_dict(
         {"Parser": PIPELINE_SPEC["Parser"],
@@ -249,18 +251,19 @@ def stage_breakdown(spark, pages_path: str) -> dict:
          "Rewrites": PIPELINE_SPEC["Rewrites"]},
         name="enrich",
     )
-    t = time.monotonic()
-    CompiledPipeline(spec_enrich).transform(df).frame.filter(
-        F.col("_drop_reason").isNull()
-    ).count()
-    out["parse_enrich"] = time.monotonic() - t
+    timed("parse_enrich", lambda: CompiledPipeline(spec_enrich)
+          .transform(df).frame.filter(F.col("_drop_reason").isNull())
+          .count())
 
     spec_full = PipelineSpec.from_dict(PIPELINE_SPEC, name="full")
     pipe = CompiledPipeline(spec_full)
-    t = time.monotonic()
-    routed = pipe.routed(pipe.transform(df), keep=["url", "lang", "warc_ts"])
-    pipe.sink_counts(routed, lang_col="lang", ts_col="warc_ts").count()
-    out["route_aggregate"] = time.monotonic() - t
+
+    def _route():
+        routed = pipe.routed(pipe.transform(df),
+                             keep=["url", "lang", "warc_ts"])
+        pipe.sink_counts(routed, lang_col="lang", ts_col="warc_ts").count()
+
+    timed("route_aggregate", _route)
     return out
 
 
