@@ -137,3 +137,80 @@ def test_mapping_property(spark, msgs, mapping):
             assert got[i] == (None, msg["message"]), (m, mapping)
         except oracle.RowError as e:
             assert got[i][0] == e.reason, (m, mapping, got[i])
+
+
+# ---------------------------------------------------------------------------
+# round-2 operators vs pure-Python oracles
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 10_000)),
+        min_size=1, max_size=60,
+    ),
+    gap=st.integers(1, 2000),
+)
+@settings(**SETTINGS)
+def test_sessionize_matches_python(spark, rows, gap):
+    """Random (key, second) streams: session numbering must equal the
+    sequential python fold (> gap splits, == gap stays)."""
+    from pyspark.sql import functions as F
+
+    from logagent_spark.operators.sessions import sessionize
+
+    data = [(k, float(sec), i) for i, (k, sec) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "k long, sec double, rid long"
+    ).select("k", F.timestamp_seconds("sec").alias("ts"), "rid")
+    got = {
+        r["rid"]: r["session_n"]
+        for r in sessionize(df, "k", "ts", gap_s=float(gap),
+                            order_cols=["ts", "rid"]).collect()
+    }
+    # python oracle
+    want = {}
+    bykey: dict = {}
+    for k, sec, rid in sorted(data, key=lambda x: (x[0], x[1], x[2])):
+        prev, n = bykey.get(k, (None, 0))
+        if prev is None or sec - prev > gap:
+            n += 1
+        bykey[k] = (sec, n)
+        want[rid] = n
+    assert got == want
+
+
+@given(
+    lefts=st.lists(st.integers(0, 1000), min_size=1, max_size=40),
+    rights=st.lists(st.integers(0, 1000), min_size=0, max_size=20),
+)
+@settings(**SETTINGS)
+def test_asof_matches_python_bisect(spark, lefts, rights):
+    """Random event times vs snapshot times on one key: the carried
+    value must equal the bisect answer (greatest right ts <= left ts)."""
+    import bisect
+
+    from pyspark.sql import functions as F
+
+    from logagent_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, float(s), i) for i, s in enumerate(lefts)],
+        "k long, sec double, lid long",
+    ).select("k", F.timestamp_seconds("sec").alias("ts"), "lid")
+    rsorted = sorted(set(rights))
+    right = spark.createDataFrame(
+        [(1, float(s), float(s) * 2) for s in rsorted] or [(2, 0.0, 0.0)],
+        "k long, rsec double, v double",
+    ).select("k", F.timestamp_seconds("rsec").alias("rts"), "v")
+
+    got = {
+        r["lid"]: r["v"]
+        for r in asof_join_backward(
+            left, right, key="k", left_ts="ts", right_ts="rts",
+            value_cols=["v"], order_cols=["lid"],
+        ).collect()
+    }
+    for i, s in enumerate(lefts):
+        j = bisect.bisect_right(rsorted, s) - 1
+        want = float(rsorted[j]) * 2 if j >= 0 else None
+        assert got[i] == want, (i, s, got[i], want)
