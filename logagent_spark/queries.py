@@ -1187,6 +1187,49 @@ FROM m
 """
 
 
+def q_tpch_promo_share(spark, sf_dir):
+    """TPC-H Q14-shaped: PROMO parts' share of revenue in a month
+    (broadcast part dim; the ratio of two exact-cent sums is one float
+    division — engine-portable). Completes the star schema: every
+    testdata table now has a driver query."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    part = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", _cents(disc))
+              .otherwise(F.lit(0))).alias("promo_c"),
+        F.sum(_cents(disc)).alias("total_c"),
+    )
+    return agg.select(
+        "promo_c", "total_c",
+        _ppm(F.col("promo_c") / F.col("total_c")).alias("promo_share_ppm"),
+    )
+
+
+SQL_TPCH_PROMO_SHARE = """
+WITH j AS (
+  SELECT CASE WHEN p_type = 'PROMO'
+              THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+                        AS BIGINT) ELSE 0 END AS pc,
+         CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+           AS tc
+  FROM lineitem, part
+  WHERE l_partkey = p_partkey
+    AND l_shipdate >= TIMESTAMP '1996-03-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+)
+SELECT CAST(sum(pc) AS BIGINT) AS promo_c,
+       CAST(sum(tc) AS BIGINT) AS total_c,
+       CAST(floor((sum(pc)::DOUBLE / sum(tc)::DOUBLE) * 1000000) AS BIGINT)
+         AS promo_share_ppm
+FROM j
+"""
+
+
 def q_agg_percentiles(spark, sf_dir):
     """Exact interpolated percentiles per key (log-latency analytics).
     Spark `percentile` and DuckDB `quantile_cont` share the linear-
@@ -1610,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_top_orders": q_tpch_top_orders,
         "tpch_region_revenue": q_tpch_region_revenue,
+        "tpch_promo_share": q_tpch_promo_share,
         "agg_percentiles": q_agg_percentiles,
         "sessionize": q_sessionize,
         "text_repetition": q_text_repetition,
@@ -1665,6 +1709,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_pricing_summary": SQL_TPCH_PRICING,
         "tpch_top_orders": SQL_TPCH_TOP_ORDERS,
         "tpch_region_revenue": SQL_TPCH_REGION_REVENUE,
+        "tpch_promo_share": SQL_TPCH_PROMO_SHARE,
         "agg_percentiles": SQL_AGG_PERCENTILES,
         "sessionize": SQL_SESSIONIZE,
         "text_repetition": SQL_TEXT_REPETITION,
