@@ -241,3 +241,36 @@ def test_tpch_region_revenue_broadcasts_all_dims(spark):
     plan = _plan(df)
     assert plan.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Same-key same-count bucketed tables must join with NO Exchange on
+    either side — the pay-the-shuffle-once-at-ingest contract."""
+    from logagent_spark.plans.bucketed import cobucketed_join, write_bucketed
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "k"), "b_orders",
+        key="k", n_buckets=4, path=str(tmp_path / "bo"),
+    )
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "k"), "b_lineitem",
+        key="k", n_buckets=4, path=str(tmp_path / "bl"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = cobucketed_join(spark, "b_orders", "b_lineitem", "k")
+        plan = _plan(j.select("k", "o_totalprice", "l_quantity"))
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # correctness: bucketed join == plain join
+        want = orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        ).count()
+        assert j.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
