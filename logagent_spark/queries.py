@@ -1546,6 +1546,70 @@ WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
 """
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """Capstone: the full training-data curation chain as ONE plan —
+    quality filter -> exact dedup (min-id per content hash) -> near-dup
+    CLUSTER dedup (MinHash-LSH pairs -> connected components -> keep
+    min id). The oracle recomputes every stage in SQL, including the
+    transitive closure. Output = the surviving corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    quality = docs.filter(
+        (ts.token_count(c) >= 10)
+        & (ts.punct_ratio(c) < 0.05)
+        & (ts.stopword_hits(c, "en") > 0)
+    )
+    exact = dd.dedup_exact(quality, "doc_id", "text")
+    pairs = dd.minhash_near_duplicates(
+        exact, "doc_id", "text", threshold=0.5, num_hashes=32, bands=16
+    ).select("a", "b")
+    survivors = dd.dedup_cluster(exact, pairs, "doc_id")
+    return survivors.select("doc_id", "lang")
+
+
+SQL_CURATION_PIPELINE = f"""
+WITH RECURSIVE quality AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE len(list_filter(string_split_regex(text, ' +'), x -> x <> '')) >= 10
+    AND (strlen(text) - strlen(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+        * 1.0 / strlen(text) < 0.05
+    AND {_sql_stopword_hits('en')} > 0
+), exact AS (
+  SELECT q.doc_id, q.lang, q.text FROM quality q
+  WHERE q.doc_id IN (
+    SELECT min(doc_id) FROM quality
+    GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+  )
+), toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, ' +'), x -> x <> '') AS t
+  FROM exact
+), sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(t) >= 5 THEN
+      list_transform(generate_series(1, len(t) - 4),
+                     i -> array_to_string(list_slice(t, i, i + 4), ' '))
+    ELSE [array_to_string(t, ' ')] END) AS s
+  FROM toks
+), p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+), edges AS (
+  SELECT a AS x, b AS y FROM p UNION SELECT b, a FROM p
+), reach AS (
+  SELECT x AS id, x AS r FROM edges
+  UNION
+  SELECT reach.id, e.y FROM reach JOIN edges e ON e.x = reach.r
+), comp AS (
+  SELECT id, min(r) AS component FROM reach GROUP BY id
+)
+SELECT doc_id, lang FROM exact
+WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+"""
+
+
 # ---------------------------------------------------------------------------
 # checkpointed resumable run (the reference's offset file done right —
 # plans/checkpoint.py)
@@ -1648,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "embed_text_fake": q_embed_text_fake,
+        "curation_pipeline": q_curation_pipeline,
         "checkpoint_resume": q_checkpoint_resume,
         "asof_join": q_asof_join,
         "tpch_pricing_summary": q_tpch_pricing_summary,
@@ -1704,6 +1769,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": SQL_MULTIMODAL_META,
         "multimodal_frames": SQL_MULTIMODAL_FRAMES,
         "embed_text_fake": SQL_EMBED_TEXT_FAKE,
+        "curation_pipeline": SQL_CURATION_PIPELINE,
         "checkpoint_resume": SQL_CHECKPOINT_RESUME,
         "asof_join": SQL_ASOF_JOIN,
         "tpch_pricing_summary": SQL_TPCH_PRICING,
