@@ -22,8 +22,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _SIDE = "_asof_side"
+_CARRY = "_asof_carry"
 
 
 def asof_join_backward(
@@ -39,19 +41,34 @@ def asof_join_backward(
     """Left rows + `value_cols` from the nearest right row with
     right_ts <= left_ts (NULLs when no right row precedes). `right`
     must have at most one row per (key, right_ts) — pre-aggregate
-    duplicates or the carried value is ambiguous."""
+    duplicates or the carried value is ambiguous.
+
+    The carry is ONE struct of all value columns, not per-column
+    `last(ignorenulls)`: the struct is non-NULL for every right row even
+    when its fields are NULL, so the carried values are exactly the
+    nearest right ROW's — a legitimate NULL in the matched snapshot
+    survives instead of being skipped for an older snapshot's value
+    (which would diverge from a true as-of join)."""
+    clash = [c for c in value_cols if c in left.columns]
+    if clash:
+        raise ValueError(
+            f"asof_join_backward: value_cols {clash} collide with left "
+            "columns — rename before joining"
+        )
     lcols = left.columns
+    carry_t = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     l_tag = left.select(
         *lcols,
         F.lit(1).alias(_SIDE),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in value_cols],
+        F.lit(None).cast(carry_t).alias(_CARRY),
     ).withColumn("_asof_ts", F.col(left_ts))
     r_tag = right.select(
         F.col(key),
         F.col(right_ts).alias("_asof_ts"),
         F.lit(0).alias(_SIDE),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias(_CARRY),
     )
     # align schemas for the union: right contributes NULL left columns
     for c in lcols:
@@ -67,9 +84,9 @@ def asof_join_backward(
     )
     carried = unioned.select(
         "*",
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(c)
-            for c in value_cols
-        ],
+        F.last(F.col(_CARRY), ignorenulls=True).over(w).alias("_matched"),
     )
-    return carried.filter(F.col(_SIDE) == 1).select(*lcols, *value_cols)
+    return carried.filter(F.col(_SIDE) == 1).select(
+        *lcols,
+        *[F.col("_matched")[c].alias(c) for c in value_cols],
+    )

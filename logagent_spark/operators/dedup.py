@@ -22,6 +22,8 @@ Scale design (the whole point — 10^12 docs):
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -237,17 +239,28 @@ def connected_components(
     pairs: DataFrame, max_iters: int = 50
 ) -> DataFrame:
     """(a, b) edge list -> (id, component) with component = min id
-    reachable, via iterative min-label propagation (alternating
-    large-star/small-star flavor, simplified: each round every node
-    adopts the min label in its neighborhood; converges in O(log n)
-    rounds on real near-dup graphs whose components are tiny cliques).
+    reachable, via iterative min-label propagation PLUS pointer jumping
+    (the large-star/small-star "shortcut" step): each round every node
+    adopts the min label in its neighborhood, then labels are compressed
+    through themselves (label <- min(label, label[label])).  Plain
+    propagation alone moves the min one hop per round — a duplicate
+    CHAIN of diameter > max_iters (realistic for sequential template
+    drift across boilerplate pages) would exit unconverged; pointer
+    jumping doubles the reach per round, so convergence is
+    O(log diameter) and 50 rounds covers any graph smaller than 2^50.
+
+    Raises RuntimeError if the loop still exhausts max_iters without a
+    fixed point — silently returning split components would make
+    dedup_cluster keep multiple documents from one cluster with no
+    signal.
 
     Scale notes: the edge list is the CANDIDATE-PAIR output — orders of
     magnitude smaller than the corpus — so the per-round shuffle is on
-    pairs, never documents. Each round is one groupBy(min) + one join;
-    the driver checks convergence on a count (cheap: labels frame is
-    O(nodes-in-pairs)). GraphFrames does the same dance; this keeps the
-    engine dependency-free."""
+    pairs, never documents. Each round is one groupBy(min) + two joins
+    (neighbor min, then the label-through-label hop on the skinny labels
+    frame); the driver checks convergence on a count (cheap: labels
+    frame is O(nodes-in-pairs)). GraphFrames does the same dance; this
+    keeps the engine dependency-free."""
     edges = (
         pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .union(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
@@ -266,6 +279,21 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("component").alias("component"))
         )
+        # pointer jumping: component <- min(component, component's own
+        # label). Components are node ids, so the hop is a self-join of
+        # the skinny labels frame; left join because a min label may be
+        # a node whose own row hasn't changed (then hop == itself).
+        hop = neigh.select(
+            F.col("id").alias("component"),
+            F.col("component").alias("hopped"),
+        )
+        neigh = neigh.join(hop, "component", "left").select(
+            "id",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("hopped"), F.col("component")),
+            ).alias("component"),
+        )
         # truncate lineage EVERY round: without this the logical plan
         # nests one join+agg per iteration and Catalyst analysis blows
         # up around ~10 rounds (the classic iterative-DataFrame trap)
@@ -280,6 +308,11 @@ def connected_components(
         labels = neigh
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixed point after {max_iters} "
+            "rounds — component labels would be silently split"
+        )
     return labels
 
 
@@ -521,6 +554,70 @@ def embedding_candidate_pairs(
     )
 
 
+def suggest_lsh_config(
+    threshold: float,
+    *,
+    n: int | None = None,
+    target_recall: float = 0.9,
+    max_cand_frac: float = 0.01,
+) -> dict:
+    """Pick (n_planes, n_chunks) for banded hyperplane LSH from the
+    similarity threshold — the guard that stops anyone running a
+    gate/test config (e.g. 8 planes / 4 chunks, which admits ~68% of all
+    pairs) against a real corpus.
+
+    Model (standard SimHash/hyperplane analysis): two vectors at cosine
+    s agree on one sign bit with p = 1 - arccos(s)/pi; with r bits per
+    band and b bands, P(candidate) = 1 - (1 - p^r)^b. Random pairs
+    (s ~ 0, p = 1/2) collide with ~b * 2^-r — the expected candidate
+    FRACTION of all n^2/2 pairs. The search takes the cheapest (fewest
+    planes = fewest dot products per row) config whose recall at
+    `threshold` meets `target_recall` while the random-pair candidate
+    fraction stays under `max_cand_frac`; if no config can (low
+    thresholds are inherently hard for hyperplane LSH), the constraint
+    relaxes by doubling and the returned `expected_cand_frac` says so.
+
+    Returns {n_planes, n_chunks, bits_per_band, expected_recall,
+    expected_cand_frac, expected_cand_pairs (when n given)} — feed the
+    first two straight into `embedding_near_duplicates` /
+    `embedding_candidate_pairs`.
+    """
+    p_t = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    cap = max_cand_frac
+    while True:
+        best = None
+        for r in range(2, 33):
+            rand = 0.5 ** r
+            for b in range(1, 17):
+                if b * rand > cap:
+                    continue
+                recall = 1.0 - (1.0 - p_t ** r) ** b
+                if recall < target_recall:
+                    continue
+                key = (r * b, b * rand)  # fewest planes, then sparsest
+                if best is None or key < best[0]:
+                    best = (key, r, b, recall, b * rand)
+        if best is not None:
+            break
+        cap *= 2.0
+        if cap > 2.0:  # give up: even cand_frac ~ 1 can't hit recall
+            r, b = 2, 16
+            best = ((32, 4.0), r, b,
+                    1.0 - (1.0 - p_t ** r) ** b, min(1.0, b * 0.5 ** r))
+            break
+    _, r, b, recall, cand = best
+    out = {
+        "n_planes": r * b,
+        "n_chunks": b,
+        "bits_per_band": r,
+        "expected_recall": recall,
+        "expected_cand_frac": min(1.0, cand),
+    }
+    if n is not None:
+        out["expected_cand_pairs"] = int(min(1.0, cand) * n * (n - 1) / 2)
+    return out
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -528,14 +625,27 @@ def embedding_near_duplicates(
     *,
     dim: int,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     seed: int = 42,
-    n_chunks: int = 3,
+    n_chunks: int | None = None,
     max_bucket_size: int = 4096,
 ) -> DataFrame:
     """Near-dup embedding pairs (a, b, cos >= threshold): banded
     hyperplane LSH candidates + exact cosine. Brute-force all-pairs in
-    queries.py is the exact baseline this approximates."""
+    queries.py is the exact baseline this approximates.
+
+    With n_planes/n_chunks unset, the config comes from
+    `suggest_lsh_config(threshold)` — sized for recall ~0.9 at the
+    threshold with a bounded random-pair candidate fraction. Explicit
+    small configs (the correctness gate uses 8 planes so its DuckDB
+    oracle stays enumerable) are GATE-ONLY: 8 planes / 4 chunks admits
+    ~68% of all pairs at threshold 0.4 and must not run at corpus
+    scale."""
+    if n_planes is None:
+        cfg = suggest_lsh_config(threshold)
+        n_planes, n_chunks = cfg["n_planes"], cfg["n_chunks"]
+    elif n_chunks is None:
+        n_chunks = 3
     return embedding_candidate_pairs(
         df, id_col, emb_col, dim=dim, n_planes=n_planes, seed=seed,
         n_chunks=n_chunks, max_bucket_size=max_bucket_size,

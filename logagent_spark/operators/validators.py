@@ -36,11 +36,30 @@ _KIND_CHECK = {
 }
 
 
-def compile_validator(spec: ValidatorSpec, schema: Schema) -> Column:
+def _overflow_map_col(schema: Schema, attrs_col: str | None) -> str | None:
+    """Resolve the dynamic-key overflow column. The ParserSpec lets the
+    user name it anything (`attrs` config key), so hardcoding "attrs"
+    would silently compile validators on undeclared columns to
+    lit(False) under any other name. Resolution: the threaded configured
+    name if it is a map column; else the schema's single map-typed
+    column; else a column literally named "attrs" if map-typed."""
+    if attrs_col:
+        return attrs_col if isinstance(schema.get(attrs_col), T.MapType) else None
+    maps = [n for n, dt in schema.items() if isinstance(dt, T.MapType)]
+    if len(maps) == 1:
+        return maps[0]
+    return "attrs" if isinstance(schema.get("attrs"), T.MapType) else None
+
+
+def compile_validator(
+    spec: ValidatorSpec, schema: Schema, *, attrs_col: str | None = None
+) -> Column:
     """Return a boolean Column: True = row passes this validator.
 
     NULL results count as failure — callers must wrap with
     ``F.coalesce(pred, F.lit(False))`` or rely on filter(null)=drop.
+    `attrs_col` names the configured dynamic-key overflow map (threaded
+    from the ParserSpec); unset, the schema is scanned for it.
     """
     col_name, mode = spec.column, spec.mode
     dt = schema.get(col_name)
@@ -49,9 +68,9 @@ def compile_validator(spec: ValidatorSpec, schema: Schema) -> Column:
         # overflow map (jsonify Attrs extension), validate against it —
         # the reference's rows hold ALL json keys, so validators must
         # see the undeclared ones too
-        attrs_dt = schema.get("attrs")
-        if isinstance(attrs_dt, T.MapType):
-            return _attrs_validator(spec)
+        overflow = _overflow_map_col(schema, attrs_col)
+        if overflow is not None:
+            return _attrs_validator(spec, overflow)
         # column can never exist => every row fails (validator.go:16-18)
         return F.lit(False)
     c = F.col(col_name)
@@ -90,8 +109,8 @@ def compile_validator(spec: ValidatorSpec, schema: Schema) -> Column:
     raise ValueError(f"unsupported validation mode `{mode}`")
 
 
-def _attrs_validator(spec: ValidatorSpec) -> Column:
-    """Validator over the dynamic-key overflow map (`attrs`,
+def _attrs_validator(spec: ValidatorSpec, attrs_col: str) -> Column:
+    """Validator over the dynamic-key overflow map (configured name,
     map<string,string> — parsers.py jsonify Attrs extension).
 
     The map is stringly-typed (every JSON scalar keeps its JSON text),
@@ -101,7 +120,7 @@ def _attrs_validator(spec: ValidatorSpec) -> Column:
     `type string` passes for any present key (documented divergence: a
     numeric JSON value is indistinguishable from its decimal string
     here)."""
-    v = F.element_at(F.col("attrs"), F.lit(spec.column))
+    v = F.element_at(F.col(attrs_col), F.lit(spec.column))
     mode = spec.mode
     if mode == "required":
         return v.isNotNull()
@@ -123,21 +142,27 @@ def _attrs_validator(spec: ValidatorSpec) -> Column:
     raise ValueError(f"unsupported validation mode `{mode}`")
 
 
-def compile_gate(specs: list[ValidatorSpec], schema: Schema) -> Column:
+def compile_gate(
+    specs: list[ValidatorSpec], schema: Schema, *, attrs_col: str | None = None
+) -> Column:
     """AND of all validators, null-safe (per-handler gate,
     handler.go:208-215). True = row reaches the sink."""
     pred = F.lit(True)
     for s in specs:
-        pred = pred & F.coalesce(compile_validator(s, schema), F.lit(False))
+        pred = pred & F.coalesce(
+            compile_validator(s, schema, attrs_col=attrs_col), F.lit(False)
+        )
     return pred
 
 
-def compile_global_reasons(specs: list[ValidatorSpec], schema: Schema) -> list[Column]:
+def compile_global_reasons(
+    specs: list[ValidatorSpec], schema: Schema, *, attrs_col: str | None = None
+) -> list[Column]:
     """Ordered drop-reason Columns for global validators
     (validator.go:206-233: first failure wins)."""
     return [
         fail_reason(
-            compile_validator(s, schema),
+            compile_validator(s, schema, attrs_col=attrs_col),
             f"validator:{s.mode}:{s.column}",
         )
         for s in specs

@@ -117,8 +117,13 @@ class CompiledPipeline:
         apply_columns(parsed.columns)
         schema.update(parsed.schema_updates)
 
-        # global validators run BEFORE rewrites (task.go:63-65)
-        for err in compile_global_reasons(self.spec.validators, schema):
+        # global validators run BEFORE rewrites (task.go:63-65); the
+        # configured overflow-map name rides along so validators on
+        # undeclared columns resolve against it whatever it is called
+        for err in compile_global_reasons(
+            self.spec.validators, schema,
+            attrs_col=self.spec.parser.attrs or None,
+        ):
             stash_reason(err)
 
         # rewrites in config order (task.go:256-376)
@@ -198,7 +203,10 @@ class CompiledPipeline:
     def _sink_structs(self, schema: Schema) -> Column:
         structs = []
         for i, h in enumerate(self.spec.handlers):
-            gate = compile_gate(h.validators, schema)
+            gate = compile_gate(
+                h.validators, schema,
+                attrs_col=self.spec.parser.attrs or None,
+            )
             if h.mode == "database":
                 rendered = F.lit(None).cast(T.StringType())
             else:

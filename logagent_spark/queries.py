@@ -807,13 +807,16 @@ SQL_EMBEDDING_NEAR_DUP = _sql_embedding_near_dup()
 
 def q_rate_limit_admit(spark, sf_dir):
     """Leaky-bucket rate limit (reference tail/ratelimiter) keyed by
-    event_type, batch twin of the stateful streaming operator. The
+    event_type, batch twin of the stateful streaming operator — routed
+    through the hot-key-safe CHUNKED path (the production default: a
+    Zipf-hot key's per-task input is bounded by rows/chunk, not its full
+    history; the unchunked form survives only as the oracle twin). The
     oracle replays the same event-time-ordered recurrence as a DuckDB
     recursive CTE (one recursion step = one row per key)."""
-    from logagent_spark.streaming.ratelimit import rate_limited_batch
+    from logagent_spark.streaming.ratelimit import rate_limited_batch_chunked
 
     ev = _t(spark, sf_dir, "events")
-    out = rate_limited_batch(
+    out = rate_limited_batch_chunked(
         ev, "event_type", "ts", size=5, leak_interval_s=3600.0,
         payload_cols=["event_id"], order_cols=["ts", "event_id"],
     )
@@ -1278,8 +1281,11 @@ WITH g AS (
   FROM g
 ), numbered AS (
   SELECT user_id, us,
-         sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
-                       ROWS UNBOUNDED PRECEDING) AS session_n
+         -- CAST: DuckDB window-sums INTEGER into HUGEINT, which the
+         -- driver's comparison frame round-trips to float64 and the
+         -- value-hash then sees 1.0 vs Spark's 1 (the round-2 red row)
+         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_n
   FROM marked
 )
 SELECT user_id, session_n, count(*) AS n_events,
@@ -1546,12 +1552,18 @@ WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
 """
 
 
-def q_curation_pipeline(spark, sf_dir):
+def q_curation_pipeline(spark, sf_dir, *, persist_intermediate=False):
     """Capstone: the full training-data curation chain as ONE plan —
     quality filter -> exact dedup (min-id per content hash) -> near-dup
     CLUSTER dedup (MinHash-LSH pairs -> connected components -> keep
     min id). The oracle recomputes every stage in SQL, including the
-    transitive closure. Output = the surviving corpus."""
+    transitive closure. Output = the surviving corpus.
+
+    `persist_intermediate=True` is the production form: the exact-dedup
+    survivor set is localCheckpointed once, so the downstream stages
+    (shingle pairs AND the anti-join) reuse it instead of re-scanning
+    the source parquet per stage; the default re-scan form stays the
+    oracle-matched plan the driver times."""
     docs = _t(spark, sf_dir, "documents")
     c = F.col("text")
     quality = docs.filter(
@@ -1560,6 +1572,8 @@ def q_curation_pipeline(spark, sf_dir):
         & (ts.stopword_hits(c, "en") > 0)
     )
     exact = dd.dedup_exact(quality, "doc_id", "text")
+    if persist_intermediate:
+        exact = exact.localCheckpoint(eager=True)
     pairs = dd.minhash_near_duplicates(
         exact, "doc_id", "text", threshold=0.5, num_hashes=32, bands=16
     ).select("a", "b")
@@ -1670,6 +1684,112 @@ WHERE strlen(props) < 9
 
 
 # ---------------------------------------------------------------------------
+# collector transports + degradation sampling as driver-checkable gates
+# (round-2 verdict item 6: these rows had only pytest evidence)
+
+def q_file_collector_lines(spark, sf_dir):
+    """file collector (collector.go:169-206) as a batch round-trip:
+    render events as pipe-delimited text lines into a temp landing dir,
+    collect them back with read_text_lines (one message per line +
+    device_id stamp), re-split. The oracle is the identity projection of
+    events — the transport must lose, duplicate, and mangle nothing."""
+    import os
+    import shutil
+
+    from logagent_spark.sources.readers import read_text_lines
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = f"/tmp/logagent_file_gate_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    ev = _t(spark, sf_dir, "events")
+    ev.select(
+        F.concat_ws("|", F.col("event_id").cast("string"),
+                    F.col("event_type")).alias("value")
+    ).repartition(4).write.text(base)
+
+    got = read_text_lines(spark, base)
+    parts = F.split(F.col("message"), r"\|", 2)
+    return got.select(
+        F.get(parts, 0).cast("long").alias("event_id"),
+        F.get(parts, 1).alias("event_type"),
+        F.col("device_id"),
+    )
+
+
+SQL_FILE_COLLECTOR_LINES = """
+SELECT event_id, event_type, 'logagent-spark' AS device_id FROM events
+"""
+
+
+def q_dir_collector_whole_files(spark, sf_dir):
+    """dir collector (collector.go:275-324) as a batch round-trip: one
+    file per lang whose body is every document's text in doc_id order,
+    read back whole-file-per-message via the binaryFile source with the
+    collector's glob filter. The oracle rebuilds each body with
+    string_agg ORDER BY doc_id."""
+    import os
+    import shutil
+
+    from logagent_spark.sources.readers import read_whole_files
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = f"/tmp/logagent_dir_gate_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    docs = _t(spark, sf_dir, "documents")
+    bodies = docs.groupBy("lang").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s["text"],
+            ),
+            "\n",
+        ).alias("body")
+    ).collect()
+    for r in bodies:
+        with open(os.path.join(base, f"{r['lang']}.txt"), "w") as f:
+            f.write(r["body"])
+    # a decoy the glob filter must skip (the reference's filename regex)
+    with open(os.path.join(base, "skipme.log"), "w") as f:
+        f.write("not a txt")
+
+    got = read_whole_files(spark, base, "*.txt")
+    return got.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)\.txt$", 1).alias("lang"),
+        F.col("message"),
+        F.col("device_id"),
+    )
+
+
+SQL_DIR_COLLECTOR_WHOLE_FILES = """
+SELECT lang, string_agg(text, chr(10) ORDER BY doc_id) AS message,
+       'logagent-spark' AS device_id
+FROM documents GROUP BY lang
+"""
+
+
+def q_degradation_sample(spark, sf_dir):
+    """Load-shed sampling (agent.go:83-93) in the deterministic
+    content-hash form: cpu 80 over limit 50 -> admit p = 0.2, admission
+    = top-32-bits of md5(event_id ":" seed) under p * 2^32. The SAME
+    arithmetic runs in the oracle — reproducible across engines AND
+    cluster layouts, which partition-seeded df.sample is not."""
+    from logagent_spark.sources.readers import degradation_sample
+
+    ev = _t(spark, sf_dir, "events")
+    out = degradation_sample(ev, cpu_percent=80.0, cpu_limit=50.0,
+                             seed=42, id_col="event_id")
+    return out.select("event_id", "event_type")
+
+
+SQL_DEGRADATION_SAMPLE = f"""
+SELECT event_id, event_type FROM events
+WHERE ('0x' || substr(md5(event_id::VARCHAR || ':42'), 1, 8))::BIGINT
+      < {int(0.2 * 2**32)}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1723,6 +1843,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "text_repetition": q_text_repetition,
         "dedup_cluster_keep": q_dedup_cluster_keep,
+        "file_collector_lines": q_file_collector_lines,
+        "dir_collector_whole_files": q_dir_collector_whole_files,
+        "degradation_sample": q_degradation_sample,
     }
 
 
@@ -1780,4 +1903,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": SQL_SESSIONIZE,
         "text_repetition": SQL_TEXT_REPETITION,
         "dedup_cluster_keep": SQL_DEDUP_CLUSTER_KEEP,
+        "file_collector_lines": SQL_FILE_COLLECTOR_LINES,
+        "dir_collector_whole_files": SQL_DIR_COLLECTOR_WHOLE_FILES,
+        "degradation_sample": SQL_DEGRADATION_SAMPLE,
     }

@@ -79,17 +79,39 @@ def read_whole_files(
 
 
 def degradation_sample(
-    df: DataFrame, cpu_percent: float, cpu_limit: float, seed: int = 42
+    df: DataFrame,
+    cpu_percent: float,
+    cpu_limit: float,
+    seed: int = 42,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Load-shed sampling (agent.go:83-93 + task.go:418-428): when CPU
     exceeds the limit, each message independently survives with
-    p = (100 - cpu)/100, applied BEFORE parsing. Batch analog: the same
-    Bernoulli sample at the scan (seeded here for reproducible tests;
-    the reference is nondeterministic — SURVEY.md §2.6)."""
+    p = (100 - cpu)/100, applied BEFORE parsing.
+
+    With `id_col` set (the production form), admission is a CONTENT
+    hash: admit iff the top 32 bits of md5(id ":" seed) fall under
+    p * 2^32. Unlike `df.sample` (per-partition RNG streams — the
+    admitted set silently changes under repartitioning or task retry,
+    poisoning lineage/resume invariants at scale), the content-hash set
+    is a pure function of the data, reproducible across cluster layouts
+    AND in any SQL engine. Without `id_col`, falls back to the seeded
+    Bernoulli `df.sample` (the reference is nondeterministic anyway —
+    SURVEY.md §2.6)."""
     if cpu_percent <= cpu_limit:
         return df
     rate = max(0.0, (100.0 - cpu_percent) / 100.0)
-    return df.sample(fraction=rate, seed=seed)
+    if id_col is None:
+        return df.sample(fraction=rate, seed=seed)
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                              F.lit(str(seed)))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    return df.filter(bucket < F.lit(int(rate * 2**32)))
 
 
 def syslog_decode(

@@ -28,6 +28,32 @@ from pyspark.sql import types as T
 from logagent_spark.plans.pipeline import SINK_COL, CompiledPipeline
 
 
+def write_epoch(
+    pipe: CompiledPipeline,
+    batch_df: DataFrame,
+    epoch_id: int,
+    out_dir: str,
+    *,
+    keep: list[str] | None = None,
+) -> None:
+    """The foreachBatch body, module-level so the replay contract is
+    directly testable. foreachBatch is AT-LEAST-ONCE on micro-batch
+    retry: a batch that fails after a partial write replays from the
+    checkpoint with the SAME epoch_id. Idempotence comes from
+    partitioning on _epoch and dynamically overwriting ONLY the replayed
+    epoch's partitions (a blind append would duplicate the partial
+    write)."""
+    result = pipe.transform(batch_df)
+    out = pipe.multiplexed(result, keep=keep)
+    (
+        out.withColumn("_epoch", F.lit(epoch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_epoch", SINK_COL)
+        .parquet(out_dir)
+    )
+
+
 def start_streaming_pipeline(
     pipe: CompiledPipeline,
     spark: SparkSession,
@@ -71,20 +97,7 @@ def start_streaming_pipeline(
         )
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        # foreachBatch is AT-LEAST-ONCE on micro-batch retry: a batch
-        # that fails after a partial write replays from the checkpoint
-        # with the SAME epoch_id. Idempotence comes from partitioning on
-        # _epoch and dynamically overwriting ONLY the replayed epoch's
-        # partitions (a blind append would duplicate the partial write).
-        result = pipe.transform(batch_df)
-        out = pipe.multiplexed(result, keep=keep)
-        (
-            out.withColumn("_epoch", F.lit(epoch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_epoch", SINK_COL)
-            .parquet(out_dir)
-        )
+        write_epoch(pipe, batch_df, epoch_id, out_dir, keep=keep)
 
     return (
         stream.writeStream.foreachBatch(write_batch)
@@ -105,6 +118,7 @@ def streaming_session_counts(
     watermark: str = "2 hours",
     source_adapter=None,
     query_name: str = "session_counts",
+    output_mode: str = "append",
 ):
     """Native Structured-Streaming sessionization: `session_window`
     merges events within `gap` per key; the watermark bounds state (a
@@ -113,7 +127,18 @@ def streaming_session_counts(
     operators/sessions.sessionize, with one boundary divergence: an
     event at EXACTLY gap seconds stays in-session in the batch operator
     (> splits) but opens a new session here (session_window spans are
-    half-open [start, start+gap))."""
+    half-open [start, start+gap)).
+
+    Output modes: session-window aggregation supports only 'append' and
+    'complete' (Spark rejects 'update': merging sessions cannot re-emit
+    keyed updates). Default 'append' is the production mode — a session
+    emits exactly once, when the watermark passes its end, and its state
+    is evicted, so state volume really is O(open sessions); trailing
+    sessions still open when the stream idles emit only after later data
+    advances the watermark. 'complete' re-emits everything and retains
+    ALL aggregation state forever — O(history), NOT bounded by the
+    watermark — so it is only safe for bounded availableNow test runs,
+    never for a long-running query."""
     stream = spark.readStream.schema(schema).parquet(input_dir)
     if source_adapter is not None:
         stream = source_adapter(stream)
@@ -123,7 +148,7 @@ def streaming_session_counts(
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     return (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .trigger(availableNow=True)

@@ -25,6 +25,17 @@ Rows are processed in event-time order within a key (the reference
 processes in arrival order; event time is the deterministic analog —
 SURVEY.md §2.7 late-data note). Rejected rows are flagged, not silently
 dropped, so drop accounting can ride the usual counters.
+
+NULL event-time rows cannot be placed on the time axis: all three twins
+admit them unconditionally and leave bucket state untouched (they are
+neither a pour nor a leak), so chunked/unchunked/streaming agree even on
+dirty inputs.
+
+The carried per-key state is ``(fill: float, last_us: int)``; the
+microsecond conversion uses ``round`` — ``int()`` truncation could land
+a resumed ``last_us`` one full microsecond low when the float
+seconds→µs round-trip comes back 1 ulp under, diverging resumed leak
+math from the unchunked twin.
 """
 
 from __future__ import annotations
@@ -95,6 +106,31 @@ def _ts_us(series: pd.Series) -> np.ndarray:
     return series.astype("datetime64[us]").astype("int64").to_numpy()
 
 
+def _simulate_with_nulls(
+    pdf: pd.DataFrame,
+    ts_col: str,
+    size: float,
+    leak_interval_s: float,
+    fill: float,
+    last_us: int | None,
+) -> tuple[np.ndarray, float, int | None]:
+    """Run simulate_bucket over the non-NULL-ts rows of an event-time
+    sorted frame; NULL-ts rows are admitted unconditionally and do not
+    touch bucket state. Returns (admitted for ALL rows, fill, last_us)
+    — last_us passes through unchanged when no timed rows arrive."""
+    null_mask = pdf[ts_col].isna().to_numpy()
+    admitted = np.ones(len(pdf), dtype=bool)
+    us = _ts_us(pdf.loc[~null_mask, ts_col])
+    if len(us):
+        adm, fill, last_ts = simulate_bucket(
+            us / 1e6, size, leak_interval_s, fill,
+            None if last_us is None else last_us / 1e6,
+        )
+        admitted[~null_mask] = adm
+        last_us = round(last_ts * 1e6)
+    return admitted, float(fill), last_us
+
+
 def rate_limited(
     df: DataFrame,
     key_col: str,
@@ -118,16 +154,16 @@ def rate_limited(
     def func(key, pdf_iter, state):
         pdf = pd.concat(list(pdf_iter), ignore_index=True)
         pdf = pdf.sort_values(sort_cols, kind="stable", ignore_index=True)
-        us = _ts_us(pdf[ts_col])
         if state.exists:
             fill, last_us = state.get
-            last_ts = last_us / 1e6
         else:
-            fill, last_ts = 0.0, None
-        admitted, fill, last_ts = simulate_bucket(
-            us / 1e6, size, leak_interval_s, fill, last_ts
+            fill, last_us = 0.0, None
+        admitted, fill, last_us = _simulate_with_nulls(
+            pdf, ts_col, size, leak_interval_s, fill, last_us
         )
-        state.update((float(fill), int(last_ts * 1e6)))
+        # state schema wants a LongType; 0 with fill==0.0 is the same
+        # empty bucket as "never seen" (leak is a no-op at fill 0)
+        state.update((fill, 0 if last_us is None else last_us))
         out = pdf[cols].copy()
         out["admitted"] = admitted
         yield out
@@ -168,8 +204,9 @@ def rate_limited_batch(
 
     def func(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(sort_cols, kind="stable", ignore_index=True)
-        us = _ts_us(pdf[ts_col])
-        admitted, _, _ = simulate_bucket(us / 1e6, size, leak_interval_s)
+        admitted, _, _ = _simulate_with_nulls(
+            pdf, ts_col, size, leak_interval_s, 0.0, None
+        )
         out = pdf[cols].copy()
         out["admitted"] = admitted
         return out
@@ -209,38 +246,48 @@ def rate_limited_batch_chunked(
     sort_cols = order_cols or [ts_col]
 
     # global event-time chunk boundaries (approx quantiles are fine: the
-    # split only balances work, never changes results)
+    # split only balances work, never changes results). NTZ timestamps
+    # (what parquet gives) cannot cast to DOUBLE in Spark 4 — go through
+    # unix_micros; the session TZ is UTC so NTZ->LTZ cast is identity.
+    def _t_sec(c):
+        return F.unix_micros(c.cast("timestamp")) / F.lit(1e6)
+
     qs = [i / num_chunks for i in range(1, num_chunks)]
-    bounds = df.select(F.col(ts_col).cast("double").alias("_t")) \
+    bounds = df.select(_t_sec(F.col(ts_col)).alias("_t")) \
         .approxQuantile("_t", qs, 0.001)
 
     def run_chunk(chunk_df: DataFrame, states: dict):
         def func(key, pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(sort_cols, kind="stable", ignore_index=True)
-            us = _ts_us(pdf[ts_col])
             fill, last = states.get(key[0], (0.0, None))
-            admitted, fill, last_ts = simulate_bucket(
-                us / 1e6, size, leak_interval_s, fill,
-                None if last is None else last / 1e6,
+            admitted, fill, last = _simulate_with_nulls(
+                pdf, ts_col, size, leak_interval_s, fill, last
             )
             out = pdf[cols].copy()
             out["admitted"] = admitted
             # every row carries the chunk-final state so the driver can
-            # read it back with one first() per key
-            out["fill"] = float(fill)
-            out["last_us"] = int(last_ts * 1e6)
+            # read it back with one first() per key; last_us stays NULL
+            # for keys that have only NULL-ts rows so far
+            out["fill"] = fill
+            out["last_us"] = last
             return out
 
         return chunk_df.select(*cols).groupBy(key_col).applyInPandas(
             func, out_plus_state
         )
 
-    t = F.col(ts_col).cast("double")
+    t = _t_sec(F.col(ts_col))
     pieces: list[DataFrame] = []
     states: dict = {}  # key -> (fill, last_us); keys absent from a chunk keep theirs
     edges = [float("-inf"), *dict.fromkeys(bounds), float("inf")]
+    first = True
     for lo, hi in zip(edges, edges[1:]):
-        chunk = df.filter((t > F.lit(lo)) & (t <= F.lit(hi)))
+        in_range = (t > F.lit(lo)) & (t <= F.lit(hi))
+        # NULL-ts rows fail every range predicate; route them to the
+        # first chunk so they are admitted (not silently dropped),
+        # matching the unchunked twin
+        chunk = df.filter(in_range | F.lit(first) & t.isNull())
+        first = False
         with_state = run_chunk(chunk, dict(states)).persist()
         pieces.append(with_state.select(*cols, "admitted"))
         for r in (

@@ -32,3 +32,35 @@ def test_asof_backward_semantics(spark):
     assert out[4] == 30.0          # per-key isolation
     assert out[5] is None          # key with no right rows at all
     assert len(out) == 5           # every left row survives (left join)
+
+
+def test_asof_null_in_matched_row_survives(spark):
+    """A legitimate NULL in the NEAREST right row's value column must be
+    carried as NULL — not skipped for an older snapshot's value (the
+    ignorenulls-per-column trap)."""
+    left = spark.createDataFrame(
+        [("a", 20.0, 1)], "k string, sec double, lid long",
+    ).select("k", F.timestamp_seconds("sec").alias("ts"), "lid")
+    right = spark.createDataFrame(
+        [("a", 5.0, 50.0, "old"), ("a", 15.0, None, "new")],
+        "k string, rsec double, v double, tag string",
+    ).select("k", F.timestamp_seconds("rsec").alias("rts"), "v", "tag")
+
+    row = asof_join_backward(
+        left, right, key="k", left_ts="ts", right_ts="rts",
+        value_cols=["v", "tag"],
+    ).collect()[0]
+    assert row["tag"] == "new"     # matched the nearest snapshot...
+    assert row["v"] is None        # ...and kept ITS null, not old's 50.0
+
+
+def test_asof_value_col_collision_raises(spark):
+    import pytest
+
+    left = spark.createDataFrame([("a", 1.0, 9.0)],
+                                 "k string, ts double, v double")
+    right = spark.createDataFrame([("a", 0.5, 1.0)],
+                                  "k string, rts double, v double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join_backward(left, right, key="k", left_ts="ts",
+                           right_ts="rts", value_cols=["v"])

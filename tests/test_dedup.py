@@ -201,3 +201,85 @@ def test_connected_components_long_chain(spark):
     comp = dedup.connected_components(pairs).collect()
     assert {r["component"] for r in comp} == {0}
     assert len(comp) == n + 1
+
+
+def test_connected_components_200_node_path(spark):
+    """Diameter-200 chain: plain one-hop propagation would need 200
+    rounds and silently return split components at max_iters=50;
+    pointer jumping must converge in O(log n) rounds instead."""
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "a long, b long"
+    )
+    comp = dedup.connected_components(pairs, max_iters=20).collect()
+    assert {r["component"] for r in comp} == {0}
+    assert len(comp) == n + 1
+
+
+def test_connected_components_two_clique_bridge(spark):
+    """Two 5-cliques joined by a single bridge edge collapse to one
+    component labeled by the global min id."""
+    import itertools as it
+
+    c1 = list(it.combinations(range(0, 5), 2))
+    c2 = list(it.combinations(range(100, 105), 2))
+    bridge = [(4, 100)]
+    pairs = spark.createDataFrame(
+        c1 + c2 + bridge, "a long, b long"
+    )
+    comp = {r["id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == 10
+
+
+def test_suggest_lsh_config():
+    """The scale-path config guard: high thresholds get a sparse,
+    recall-sound banding; the gate config's admit-most behavior is never
+    suggested; infeasible low thresholds degrade loudly (cand_frac says
+    so) instead of silently under-recalling."""
+    cfg = dedup.suggest_lsh_config(0.95)
+    assert cfg["expected_recall"] >= 0.9
+    assert cfg["expected_cand_frac"] <= 0.01
+    assert cfg["n_planes"] == cfg["bits_per_band"] * cfg["n_chunks"]
+    assert cfg["n_planes"] > 8  # the p8 gate config is gate-only
+
+    # tighter threshold -> needs fewer planes for the same recall
+    loose = dedup.suggest_lsh_config(0.99)
+    assert loose["n_planes"] <= cfg["n_planes"]
+
+    # low threshold: no sparse config exists; constraint relaxes and the
+    # returned cand_frac is honest about it
+    hard = dedup.suggest_lsh_config(0.5)
+    assert hard["expected_cand_frac"] > 0.01
+
+    sized = dedup.suggest_lsh_config(0.95, n=100_000)
+    assert sized["expected_cand_pairs"] == int(
+        sized["expected_cand_frac"] * 100_000 * 99_999 / 2
+    )
+
+
+def test_embedding_near_duplicates_auto_config(spark):
+    """Defaults (no explicit planes/chunks) flow through
+    suggest_lsh_config and still find a planted near-dup."""
+    rng = np.random.RandomState(3)
+    base = rng.randn(8, 16)
+    rows = [(i, (v / np.linalg.norm(v)).tolist())
+            for i, v in enumerate(base)]
+    v = base[4] + rng.randn(16) * 0.01
+    rows.append((8, (v / np.linalg.norm(v)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = dedup.embedding_near_duplicates(
+        df, "vec_id", "embedding", dim=16, threshold=0.95
+    ).collect()
+    assert (4, 8) in {(r["a"], r["b"]) for r in got}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """Exhausting max_iters without a fixed point must raise, never
+    silently return split components."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="no fixed point"):
+        dedup.connected_components(pairs, max_iters=1)

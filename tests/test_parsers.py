@@ -253,3 +253,45 @@ def test_jsonify_attrs_overflow(spark):
     ok_num = {r["id"]: r["ok"] for r in res.frame.select(
         "id", F.coalesce(gate_num, F.lit(False)).alias("ok")).collect()}
     assert ok_num[0] is False
+
+
+def test_jsonify_attrs_custom_column_name(spark):
+    """The overflow map can be named anything (ParserSpec.attrs);
+    validators on undeclared columns must still resolve against it —
+    both via the threaded configured name and via schema-scan fallback
+    (a hardcoded 'attrs' would silently compile to lit(False))."""
+    from pyspark.sql import functions as F
+
+    from logagent_spark.config import ValidatorSpec
+    from logagent_spark.operators.validators import compile_gate
+
+    parser = ParserSpec(mode="jsonify", columns=["k"],
+                        types={"k": "double"}, attrs="extra")
+    spec = PipelineSpec(parser=parser)
+    msgs = ['{"k": 1, "et": "error"}', '{"k": 2}']
+    res = CompiledPipeline(spec).transform(_msg_df(spark, msgs))
+    assert {r["id"]: r["extra"] for r in res.frame.collect()} == {
+        0: {"et": "error"}, 1: {},
+    }
+    for kw in ({"attrs_col": "extra"}, {}):  # threaded, then auto-scan
+        gate = compile_gate(
+            [ValidatorSpec(mode="value", column="et", value="error")],
+            res.schema, **kw,
+        )
+        ok = {r["id"]: r["ok"] for r in res.frame.select(
+            "id", F.coalesce(gate, F.lit(False)).alias("ok")).collect()}
+        assert ok == {0: True, 1: False}, kw
+
+    # end-to-end: the PIPELINE's per-handler gate threads the name too
+    spec2 = PipelineSpec.from_dict({
+        "Parser": {"Mode": "jsonify", "Columns": ["k"],
+                   "Types": {"k": "double"}, "attrs": "extra"},
+        "Handlers": [
+            {"Mode": "stream", "Name": "errors", "Template": "${k}",
+             "Validators": [{"Mode": "value", "Column": "et",
+                             "Value": "error"}]},
+        ],
+    })
+    pipe = CompiledPipeline(spec2)
+    routed = pipe.routed(pipe.transform(_msg_df(spark, msgs)))
+    assert [r["id"] for r in routed.collect()] == [0]

@@ -274,3 +274,25 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_curation_persist_option_scans_source_once(spark):
+    """persist_intermediate=True localCheckpoints the exact-dedup
+    survivors: downstream stages (pair generation + anti-join) must read
+    the checkpointed RDD, not re-scan the documents parquet per stage —
+    and the surviving corpus must be identical either way."""
+    from logagent_spark.queries import q_curation_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    default = q_curation_pipeline(spark, sf)
+    persisted = q_curation_pipeline(spark, sf, persist_intermediate=True)
+
+    n_scans_default = _plan(default).count("Scan parquet")
+    n_scans_persisted = _plan(persisted).count("Scan parquet")
+    assert n_scans_default >= 2          # the documented re-scan form
+    assert n_scans_persisted == 0        # every stage reuses the checkpoint
+    assert "ExistingRDD" in _plan(persisted)
+
+    a = sorted((r["doc_id"], r["lang"]) for r in default.collect())
+    b = sorted((r["doc_id"], r["lang"]) for r in persisted.collect())
+    assert a == b and len(a) > 0

@@ -166,6 +166,33 @@ def test_chunked_batch_matches_unchunked(spark, events):
     assert plain == chunked and len(chunked) == events.count()
 
 
+def test_null_ts_rows_admitted_and_stateless(spark, events):
+    """NULL event-time rows: admitted unconditionally, bucket state
+    untouched, and chunked == unchunked even with nulls present (the
+    chunk range predicates would otherwise silently drop them)."""
+    from logagent_spark.streaming.ratelimit import rate_limited_batch_chunked
+
+    nulls = spark.createDataFrame(
+        [("a.com", None, 900), ("c.com", None, 901)],
+        "host string, sec long, msg_id long",
+    ).select("host", F.timestamp_seconds("sec").alias("ts"), "msg_id")
+    ev = events.unionByName(nulls)
+    kw = dict(size=3, leak_interval_s=2.0, payload_cols=["msg_id"],
+              order_cols=["ts", "msg_id"])
+
+    plain = {(r["host"], r["msg_id"]): r["admitted"]
+             for r in rate_limited_batch(ev, "host", "ts", **kw).collect()}
+    chunked = {(r["host"], r["msg_id"]): r["admitted"]
+               for r in rate_limited_batch_chunked(
+                   ev, "host", "ts", num_chunks=4, **kw).collect()}
+    assert plain == chunked and len(chunked) == ev.count()
+    assert plain[("a.com", 900)] and plain[("c.com", 901)]
+    # state untouched: a.com's timed rows admit exactly as without nulls
+    base = {(r["host"], r["msg_id"]): r["admitted"]
+            for r in rate_limited_batch(events, "host", "ts", **kw).collect()}
+    assert all(plain[k] == v for k, v in base.items())
+
+
 def test_simulate_bucket_clamps_late_data():
     """An out-of-order pour (t < last_ts) must not anti-leak (grow fill)
     nor regress last_ts."""

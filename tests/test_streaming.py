@@ -149,36 +149,49 @@ def test_epoch_replay_is_idempotent(spark, stream_input, tmp_path):
     (partial or complete) sink write replays with the SAME epoch_id. The
     writer must overwrite only that epoch's partitions, so a replay
     changes nothing — this pins the dynamic-partition-overwrite
-    mechanism the streaming writer relies on."""
+    mechanism through the PRODUCTION write_epoch function, including the
+    mid-batch case: a PARTIAL write followed by a same-epoch full replay
+    must leave exactly one copy of every row."""
+    from logagent_spark.streaming.pipeline import write_epoch
+
     pipe = CompiledPipeline(PipelineSpec.from_dict(SPEC))
-    res = pipe.transform(from_pages(spark.read.parquet(stream_input)))
-    out = pipe.multiplexed(res, keep=["url", "lang"])
+    src = from_pages(spark.read.parquet(stream_input))
     out_dir = str(tmp_path / "replay_out")
+    keep = ["url", "lang"]
 
-    def write_epoch(df, epoch_id):
-        (
-            df.withColumn("_epoch", F.lit(epoch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_epoch", "sink")
-            .parquet(out_dir)
-        )
-
-    write_epoch(out, 0)
+    write_epoch(pipe, src, 0, out_dir, keep=keep)
     first = spark.read.parquet(out_dir).count()
-    write_epoch(out, 0)          # replayed micro-batch, same epoch
-    write_epoch(out.limit(50), 1)  # later epoch must survive untouched...
-    write_epoch(out.limit(50), 1)  # ...even when IT replays
+    write_epoch(pipe, src, 0, out_dir, keep=keep)  # full same-epoch replay
+    # epoch 1 dies mid-write (only a quarter of its rows landed) ...
+    part = src.filter(F.pmod(F.hash("url"), F.lit(4)) == 0)
+    write_epoch(pipe, part, 1, out_dir, keep=keep)
+    # ... then the checkpoint replays the SAME epoch with the full batch
+    write_epoch(pipe, src, 1, out_dir, keep=keep)
     got = spark.read.parquet(out_dir)
     assert got.filter(F.col("_epoch") == 0).count() == first
-    assert got.filter(F.col("_epoch") == 1).count() == 50
-    assert got.count() == first + 50
+    assert got.filter(F.col("_epoch") == 1).count() == first
+    assert got.count() == 2 * first
+    # byte-level: each epoch holds exactly the batch-engine row set
+    want = sorted(
+        (r["sink"], r["url"], r["rendered"])
+        for r in pipe.multiplexed(pipe.transform(src), keep=keep).collect()
+    )
+    for e in (0, 1):
+        a = sorted(
+            (r["sink"], r["url"], r["rendered"])
+            for r in got.filter(F.col("_epoch") == e).collect()
+        )
+        assert a == want, e
 
 
 def test_streaming_session_window_matches_batch_sessionize(spark, tmp_path):
-    """session_window (streaming) and the batch window sessionizer must
-    agree on session count and per-session event counts for the same
-    gap."""
+    """session_window (streaming, append mode: a session emits exactly
+    once, when the watermark closes it, and its state is evicted) and
+    the batch window sessionizer must agree on session count and
+    per-session event counts for the same gap. A far-future sentinel
+    event advances the watermark past every real session's end; the
+    sentinel's own still-open session must NOT emit — that absence is
+    exactly the append-mode state-eviction contract."""
     from logagent_spark.operators.sessions import session_stats
     from logagent_spark.streaming.pipeline import streaming_session_counts
 
@@ -189,6 +202,8 @@ def test_streaming_session_window_matches_batch_sessionize(spark, tmp_path):
             for i in range(3):
                 rows.append((uid, float(uid * 100000 + s0 + i * 600),
                              len(rows)))
+    # watermark sentinel: closes all real sessions, stays open itself
+    rows.append((99, 500000.0, len(rows)))
     src = spark.createDataFrame(
         rows, "uid long, sec double, eid long"
     ).select("uid", F.timestamp_seconds("sec").alias("ts"), "eid")
@@ -201,13 +216,13 @@ def test_streaming_session_window_matches_batch_sessionize(spark, tmp_path):
         query_name="sess_test",
     )
     q.awaitTermination(120)
-    got = sorted(
-        (r["uid"], r["n_events"])
-        for r in spark.sql("select * from sess_test").collect()
-    )
+    emitted = spark.sql("select * from sess_test").collect()
+    got = sorted((r["uid"], r["n_events"]) for r in emitted)
     want = sorted(
         (r["uid"], r["n_events"])
-        for r in session_stats(src, "uid", "ts", gap_s=1800.0,
-                               order_cols=["ts", "eid"]).collect()
+        for r in session_stats(
+            src.filter(F.col("uid") != 99), "uid", "ts", gap_s=1800.0,
+            order_cols=["ts", "eid"]).collect()
     )
     assert got == want and len(got) == 6
+    assert not any(r["uid"] == 99 for r in emitted)  # open session held back
