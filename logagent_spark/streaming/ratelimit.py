@@ -223,7 +223,8 @@ def rate_limited_batch_chunked(
     leak_interval_s: float,
     payload_cols: list[str] | None = None,
     order_cols: list[str] | None = None,
-    num_chunks: int = 8,
+    num_chunks: int | None = None,
+    rows_per_chunk: int = 1_000_000,
 ) -> DataFrame:
     """Hot-key-safe batch twin: the event-time axis splits into
     `num_chunks` global ranges; chunks run sequentially (mirroring the
@@ -232,6 +233,13 @@ def rate_limited_batch_chunked(
     A Zipf-hot key's per-task input is bounded by its rows/chunk instead
     of its full history; the inter-chunk state is O(distinct keys) tiny
     frames.
+
+    `num_chunks=None` (default) auto-sizes from the input: ceil(rows /
+    rows_per_chunk) capped at 64 — a worst-case single-key input still
+    bounds each Python task at ~rows_per_chunk rows, while small inputs
+    collapse to ONE chunk and skip the per-chunk driver-job overhead
+    (each chunk costs a sequential Spark job; paying 8 of them on a
+    10k-row input was pure fixed cost).
 
     Identical output to `rate_limited_batch` (the simulation core is
     resumable by construction — the streaming operator already relies on
@@ -252,9 +260,16 @@ def rate_limited_batch_chunked(
     def _t_sec(c):
         return F.unix_micros(c.cast("timestamp")) / F.lit(1e6)
 
+    if num_chunks is None:
+        n_rows = df.count()
+        num_chunks = max(1, min(64, -(-n_rows // rows_per_chunk)))
+
     qs = [i / num_chunks for i in range(1, num_chunks)]
-    bounds = df.select(_t_sec(F.col(ts_col)).alias("_t")) \
+    bounds = (
+        df.select(_t_sec(F.col(ts_col)).alias("_t"))
         .approxQuantile("_t", qs, 0.001)
+        if num_chunks > 1 else []
+    )
 
     def run_chunk(chunk_df: DataFrame, states: dict):
         def func(key, pdf: pd.DataFrame) -> pd.DataFrame:
