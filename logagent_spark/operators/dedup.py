@@ -85,16 +85,23 @@ def minhash_signature(
     """array<long> signature: element i = min over shingles of
     xxhash64(shingle, seed_i). Pure Column expr — computed scan-side.
 
-    Expression shape matters: the shingle array is the OUTER transform
-    argument, so it is derived once per row; a naive per-seed expression
-    list re-derives it num_hashes times (Catalyst's subexpression
-    elimination does not reach inside lambda bodies — measured ~30×
-    slower). Per shingle we emit all num_hashes hashes, then fold an
-    elementwise min across shingles."""
+    Expression shape matters twice over:
+
+    * the shingle array is the OUTER transform argument, so it is
+      derived once per row; a naive per-seed expression list re-derives
+      it num_hashes times (Catalyst's subexpression elimination does not
+      reach inside lambda bodies — measured ~30× slower);
+    * each shingle STRING is hashed exactly once; the num_hashes seeded
+      variants rehash the resulting 8-byte long (`xxhash64(h, seed)` —
+      the standard universal-rehash MinHash construction), not the
+      ~30-byte string. Hashing the string per seed made signature
+      generation the hot loop of the whole MinHash pipeline.
+    """
     sh = shingles(col, shingle_k)
     seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    hs = F.transform(sh, lambda s: F.xxhash64(s))
     per_shingle = F.transform(
-        sh, lambda s: F.transform(seeds, lambda seed: F.xxhash64(s, seed))
+        hs, lambda h: F.transform(seeds, lambda seed: F.xxhash64(h, seed))
     )
     init = F.array(*[F.lit(9223372036854775807)] * num_hashes)
     return F.aggregate(
@@ -235,38 +242,83 @@ def minhash_near_duplicates(
 # ---------------------------------------------------------------------------
 # cluster resolution: near-dup PAIRS -> connected components -> winners
 
+def _union_find_components(edges: list[tuple]) -> dict:
+    """Driver-side union-find with path compression; root = min id of
+    the component (same winner rule as the distributed loop)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for x, y in edges:
+        parent.setdefault(x, x)
+        parent.setdefault(y, y)
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # union by MIN id so the root is the deterministic winner
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
 def connected_components(
-    pairs: DataFrame, max_iters: int = 50
+    pairs: DataFrame,
+    max_iters: int = 50,
+    small_graph_edges: int = 200_000,
 ) -> DataFrame:
     """(a, b) edge list -> (id, component) with component = min id
-    reachable, via iterative min-label propagation PLUS pointer jumping
-    (the large-star/small-star "shortcut" step): each round every node
-    adopts the min label in its neighborhood, then labels are compressed
-    through themselves (label <- min(label, label[label])).  Plain
-    propagation alone moves the min one hop per round — a duplicate
-    CHAIN of diameter > max_iters (realistic for sequential template
-    drift across boilerplate pages) would exit unconverged; pointer
-    jumping doubles the reach per round, so convergence is
-    O(log diameter) and 50 rounds covers any graph smaller than 2^50.
+    reachable.
 
-    Raises RuntimeError if the loop still exhausts max_iters without a
-    fixed point — silently returning split components would make
-    dedup_cluster keep multiple documents from one cluster with no
-    signal.
+    Two paths with identical semantics (pytest-pinned equal):
 
-    Scale notes: the edge list is the CANDIDATE-PAIR output — orders of
-    magnitude smaller than the corpus — so the per-round shuffle is on
-    pairs, never documents. Each round is one groupBy(min) + two joins
-    (neighbor min, then the label-through-label hop on the skinny labels
-    frame); the driver checks convergence on a count (cheap: labels
-    frame is O(nodes-in-pairs)). GraphFrames does the same dance; this
-    keeps the engine dependency-free."""
+    * **small graphs** (<= small_graph_edges undirected edges): one
+      collect + driver-side union-find. The pair graph is the
+      LSH-candidate output — usually orders of magnitude smaller than
+      the corpus — and below this threshold the distributed loop's cost
+      is pure fixed overhead (per-round jobs + checkpoints dwarf the
+      microseconds of actual work; the benched 25-pair graph spent ~7 s
+      on ~0 bytes). The collect is bounded by the threshold (~tens of
+      MB), not by corpus size.
+    * **large graphs**: iterative min-label propagation PLUS pointer
+      jumping (the large-star/small-star "shortcut" step): each round
+      every node adopts the min label in its neighborhood, then labels
+      compress through themselves (label <- min(label, label[label])).
+      Plain propagation alone moves the min one hop per round — a
+      duplicate CHAIN of diameter > max_iters (realistic for sequential
+      template drift across boilerplate pages) would exit unconverged;
+      pointer jumping doubles the reach per round, so convergence is
+      O(log diameter) and 50 rounds covers any graph smaller than 2^50.
+      Raises RuntimeError if the loop exhausts max_iters without a
+      fixed point — silently returning split components would make
+      dedup_cluster keep multiple documents from one cluster with no
+      signal. Per-round shuffles touch only the pair graph, never
+      documents: one groupBy(min) + two skinny joins, convergence
+      checked on a count. GraphFrames does the same dance; this keeps
+      the engine dependency-free. Pass small_graph_edges=0 to force
+      this path.
+    """
     edges = (
         pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .union(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
         .distinct()
     )
     edges = edges.localCheckpoint(eager=True)
+    if edges.count() <= 2 * small_graph_edges:  # x->y and y->x both present
+        spark = pairs.sparkSession
+        comp = _union_find_components(
+            [(r["x"], r["y"]) for r in edges.collect()]
+        )
+        id_t = pairs.schema["a"].dataType
+        return spark.createDataFrame(
+            list(comp.items()),
+            T.StructType([T.StructField("id", id_t),
+                          T.StructField("component", id_t)]),
+        )
     labels = edges.select(F.col("x").alias("id")).distinct().withColumn(
         "component", F.col("id")
     )

@@ -168,14 +168,32 @@ def fingerprint(col: Column) -> Column:
 
 
 def shingles(col: Column, k: int = 5) -> Column:
-    """k-word shingles as an array<string> (basis for minhash / jaccard)."""
+    """k-word shingles as an array<string> (basis for minhash / jaccard).
+
+    Built by zipping the token array with its k-1 shifted copies
+    (shingle_i = tok_i + " " + ... + tok_{i+k-1}) rather than
+    `transform(indices, i -> concat_ws(slice(toks, i, k)))`: Catalyst
+    does not hoist `toks` out of a lambda body, so the slice form
+    re-derives the FULL split+filter token array once per shingle —
+    O(tokens^2) per document; it was the hot loop of the entire MinHash
+    pipeline. The zip chain evaluates the token derivation k+1 times
+    total. zip_with pads the shorter side with NULL and `concat` is
+    NULL-propagating, so the k-1 tail slots become NULL and are filtered
+    — output strings are byte-identical to the slice form."""
     toks = tokens(col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.when(
-        n >= k,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    if k <= 1:
+        return toks
+    acc = toks
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(tokens(col), j + 1, 2147483647 - k),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    full = F.filter(acc, lambda s: s.isNotNull())
+    return F.when(F.size(toks) >= k, full).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
 
 
 def min_shingle_fingerprint(col: Column, k: int = 5) -> Column:

@@ -193,32 +193,38 @@ def test_connected_components_and_cluster_dedup(spark):
 
 def test_connected_components_long_chain(spark):
     """A path graph needs multiple propagation rounds (min label must
-    travel the chain) — exercises the convergence loop."""
+    travel the chain) — exercises the DISTRIBUTED convergence loop
+    (small_graph_edges=0 forces past the union-find fast path)."""
     n = 12
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "a long, b long"
     )
-    comp = dedup.connected_components(pairs).collect()
+    comp = dedup.connected_components(pairs, small_graph_edges=0).collect()
     assert {r["component"] for r in comp} == {0}
     assert len(comp) == n + 1
 
 
 def test_connected_components_200_node_path(spark):
-    """Diameter-200 chain: plain one-hop propagation would need 200
-    rounds and silently return split components at max_iters=50;
-    pointer jumping must converge in O(log n) rounds instead."""
+    """Diameter-200 chain on the DISTRIBUTED path: plain one-hop
+    propagation would need 200 rounds and silently return split
+    components at max_iters=50; pointer jumping must converge in
+    O(log n) rounds instead."""
     n = 200
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "a long, b long"
     )
-    comp = dedup.connected_components(pairs, max_iters=20).collect()
+    comp = dedup.connected_components(
+        pairs, max_iters=20, small_graph_edges=0
+    ).collect()
     assert {r["component"] for r in comp} == {0}
     assert len(comp) == n + 1
 
 
 def test_connected_components_two_clique_bridge(spark):
     """Two 5-cliques joined by a single bridge edge collapse to one
-    component labeled by the global min id."""
+    component labeled by the global min id — and the union-find fast
+    path (default for a graph this small) must agree exactly with the
+    distributed loop."""
     import itertools as it
 
     c1 = list(it.combinations(range(0, 5), 2))
@@ -227,10 +233,14 @@ def test_connected_components_two_clique_bridge(spark):
     pairs = spark.createDataFrame(
         c1 + c2 + bridge, "a long, b long"
     )
-    comp = {r["id"]: r["component"]
-            for r in dedup.connected_components(pairs).collect()}
-    assert set(comp.values()) == {0}
-    assert len(comp) == 10
+    small = {r["id"]: r["component"]
+             for r in dedup.connected_components(pairs).collect()}
+    assert set(small.values()) == {0}
+    assert len(small) == 10
+    dist = {r["id"]: r["component"]
+            for r in dedup.connected_components(
+                pairs, small_graph_edges=0).collect()}
+    assert small == dist
 
 
 def test_suggest_lsh_config():
@@ -282,4 +292,24 @@ def test_connected_components_raises_on_nonconvergence(spark):
         [(i, i + 1) for i in range(30)], "a long, b long"
     )
     with pytest.raises(RuntimeError, match="no fixed point"):
-        dedup.connected_components(pairs, max_iters=1)
+        dedup.connected_components(pairs, max_iters=1, small_graph_edges=0)
+
+
+def test_connected_components_paths_agree_on_mixed_graph(spark):
+    """Union-find fast path == distributed pointer-jumping loop on a
+    graph mixing chains, cliques, self-contained pairs and string ids."""
+    import itertools as it
+
+    edges = (
+        [(f"c{i}", f"c{i+1}") for i in range(40)]            # chain
+        + [(f"k{a}", f"k{b}") for a, b in
+           it.combinations(range(6), 2)]                      # clique
+        + [("x1", "x2"), ("y1", "y2"), ("x2", "x3")]          # smalls
+    )
+    pairs = spark.createDataFrame(edges, "a string, b string")
+    small = {r["id"]: r["component"]
+             for r in dedup.connected_components(pairs).collect()}
+    dist = {r["id"]: r["component"]
+            for r in dedup.connected_components(
+                pairs, small_graph_edges=0).collect()}
+    assert small == dist and len(small) == 41 + 6 + 5
