@@ -596,13 +596,37 @@ def embedding_candidate_pairs(
         .distinct()
     )
 
-    emb = df.select(F.col(id_col).alias("_eid"), F.col(emb_col).alias("_e"))
-    ea = emb.withColumnRenamed("_eid", "a").withColumnRenamed("_e", "_ea")
-    eb = emb.withColumnRenamed("_eid", "b").withColumnRenamed("_e", "_eb")
+    # norms hoisted to the per-VECTOR projection: computing them inside
+    # the per-pair cosine would evaluate two squared-sum folds per
+    # candidate pair (~2/3 of the verify cost at high cand_frac) instead
+    # of once per vector; the arithmetic is unchanged (dot / (na * nb))
+    # so results are bit-identical
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(emb_col), lambda x: x * x),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    )
+    emb = df.select(
+        F.col(id_col).alias("_eid"), F.col(emb_col).alias("_e"),
+        norm.alias("_n"),
+    )
+    ea = emb.select(F.col("_eid").alias("a"), F.col("_e").alias("_ea"),
+                    F.col("_n").alias("_na"))
+    eb = emb.select(F.col("_eid").alias("b"), F.col("_e").alias("_eb"),
+                    F.col("_n").alias("_nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_ea"), F.col("_eb"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    cos = F.when(
+        (F.col("_na") > 0) & (F.col("_nb") > 0),
+        dot / (F.col("_na") * F.col("_nb")),
+    ).otherwise(F.lit(0.0))
     return (
         pairs.join(ea, "a")
         .join(eb, "b")
-        .select("a", "b", cosine(F.col("_ea"), F.col("_eb")).alias("cos"))
+        .select("a", "b", cos.alias("cos"))
     )
 
 

@@ -98,19 +98,19 @@ def langid(col: Column, langs: list[str] | None = None) -> Column:
 
 
 def bigrams(col: Column) -> Column:
-    """Adjacent word bigrams as array<string> ("a b", "b c", ...)."""
+    """Adjacent word bigrams as array<string> ("a b", "b c", ...).
+
+    zip_with over the 1-shifted token array — the element_at(toks, i)
+    form re-derived the full token array twice per index (the same
+    Catalyst lambda-hoisting gap fixed in `shingles`). NULL-padded tail
+    slot is filtered; n<2 naturally yields an empty array."""
     toks = tokens(col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
-    return F.when(
-        n >= 2,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    pairs = F.zip_with(
+        toks,
+        F.slice(tokens(col), 2, 2147483646),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.filter(pairs, lambda s: s.isNotNull())
 
 
 def _max_multiplicity(arr: Column) -> Column:
