@@ -1472,6 +1472,64 @@ GROUP BY 1
 """
 
 
+def q_tpch_bucketed_revenue(spark, sf_dir):
+    """The bucketed-table seam (plans/bucketed.py) as a driver gate: at
+    100 TB the orders⋈lineitem shuffle is the recurring join cost;
+    bucketing pays it once at ingest. Here both tables are written as
+    co-bucketed catalog tables, the join is asserted Exchange-free on
+    BOTH sides (broadcast disabled so the plan must be the bucketed
+    SortMergeJoin), and revenue per order-priority must match the plain
+    plain-join oracle exactly."""
+    import os
+    import shutil
+
+    from logagent_spark.plans.bucketed import cobucketed_join, write_bucketed
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/logagent_bucketed_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    for t in (f"bq_orders_{tag}", f"bq_lineitem_{tag}"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    write_bucketed(
+        _t(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "okey"),
+        f"bq_orders_{tag}", key="okey", n_buckets=8,
+        path=f"{base}/orders",
+    )
+    write_bucketed(
+        _t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "okey"),
+        f"bq_lineitem_{tag}", key="okey", n_buckets=8,
+        path=f"{base}/lineitem",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = cobucketed_join(
+            spark, f"bq_orders_{tag}", f"bq_lineitem_{tag}", "okey"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert "SortMergeJoin" in plan
+        disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        out = j.groupBy("o_orderpriority").agg(
+            F.sum(_cents(disc)).alias("revenue_c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        out = out.localCheckpoint(eager=True)  # evaluate under the conf
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return out
+
+
+SQL_TPCH_BUCKETED_REVENUE = """
+SELECT o_orderpriority,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_c,
+       count(*) AS n
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition signals, token-level (this corpus has no
     line structure): duplicate-token fraction and top-bigram share —
@@ -1846,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "file_collector_lines": q_file_collector_lines,
         "dir_collector_whole_files": q_dir_collector_whole_files,
         "degradation_sample": q_degradation_sample,
+        "tpch_bucketed_revenue": q_tpch_bucketed_revenue,
     }
 
 
@@ -1906,4 +1965,5 @@ def oracle_sql() -> dict[str, str]:
         "file_collector_lines": SQL_FILE_COLLECTOR_LINES,
         "dir_collector_whole_files": SQL_DIR_COLLECTOR_WHOLE_FILES,
         "degradation_sample": SQL_DEGRADATION_SAMPLE,
+        "tpch_bucketed_revenue": SQL_TPCH_BUCKETED_REVENUE,
     }
