@@ -221,6 +221,18 @@ def stage_breakdown(spark, pages_path: str) -> dict:
             best = dt if best is None else min(best, dt)
         out[name] = best
 
+    # html:binary -> text extraction (north-star input shape) at full
+    # corpus scale, with the byte-identity invariant asserted in-run
+    def _html_extract():
+        from logagent_spark.operators.web import extract_text_from_html
+
+        ex = extract_text_from_html(
+            spark.read.parquet(pages_path), out_col="_ext"
+        )
+        assert ex.filter(F.col("_ext") != F.col("text")).count() == 0
+
+    timed("html_extract_verify", _html_extract)
+
     timed("parse_native", lambda: CompiledPipeline(spec_parse)
           .transform(df).frame.filter(F.col("ts").isNotNull()).count())
     timed("parse_grok_udf",

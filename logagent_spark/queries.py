@@ -1472,6 +1472,38 @@ GROUP BY 1
 """
 
 
+def q_html_extract_text(spark, sf_dir):
+    """The north-star per-row invariant as a driver gate: wrap each
+    document's text into an escaped HTML page IN-QUERY (binary, like the
+    input_hint's html column — with style/script subtrees and attribute
+    noise), then recover it with the scan-side extractor
+    (operators/web.py, pure Column regex — no UDF). Output must be
+    BYTE-IDENTICAL text per doc: the oracle is the identity projection,
+    so any extraction mangling fails the value hash."""
+    from logagent_spark.operators.web import escape_html_text, html_to_text
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><style>p {color: red}</style></head>'
+              '<body><p class="doc">'),
+        escape_html_text(F.col("text")),
+        F.lit('</p><script type="text/javascript">'
+              'if (1<2) { track("&"); }</script></body></html>'),
+    ).cast("binary")
+    return (
+        docs.withColumn("_html", html)
+        .select(
+            "doc_id",
+            html_to_text(F.col("_html").cast("string")).alias("text"),
+        )
+    )
+
+
+SQL_HTML_EXTRACT_TEXT = """
+SELECT doc_id, text FROM documents
+"""
+
+
 def q_tpch_bucketed_revenue(spark, sf_dir):
     """The bucketed-table seam (plans/bucketed.py) as a driver gate: at
     100 TB the orders⋈lineitem shuffle is the recurring join cost;
@@ -1905,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dir_collector_whole_files": q_dir_collector_whole_files,
         "degradation_sample": q_degradation_sample,
         "tpch_bucketed_revenue": q_tpch_bucketed_revenue,
+        "html_extract_text": q_html_extract_text,
     }
 
 
@@ -1966,4 +1999,5 @@ def oracle_sql() -> dict[str, str]:
         "dir_collector_whole_files": SQL_DIR_COLLECTOR_WHOLE_FILES,
         "degradation_sample": SQL_DEGRADATION_SAMPLE,
         "tpch_bucketed_revenue": SQL_TPCH_BUCKETED_REVENUE,
+        "html_extract_text": SQL_HTML_EXTRACT_TEXT,
     }

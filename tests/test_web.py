@@ -1,0 +1,63 @@
+"""HTML -> text extraction (operators/web.py): the north-star per-row
+invariant — byte-identical extracted text per url — against escaped
+round-trips, the binary html column of the datagen pages fixture, and
+the plan (pure JVM Column exprs, no UDF)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logagent_spark.operators.web import (
+    escape_html_text,
+    extract_text_from_html,
+    html_to_text,
+)
+
+
+def _wrap(text_col):
+    return F.concat(
+        F.lit('<html><head><style>p {color: red}</style></head>'
+              '<body><p class="x">'),
+        escape_html_text(text_col),
+        F.lit('</p><script type="text/javascript">'
+              'if (1<2) { alert("&"); }</script></body></html>'),
+    )
+
+
+def test_escape_extract_round_trip_byte_identical(spark):
+    rows = [
+        ("a & b < c > d \"q\" 'x'",),
+        ("plain\nmultiline  double-spaced\ttabbed",),
+        ("",),
+        ("&amp; pre-escaped-looking literal",),  # & -> &amp;amp; -> &amp;
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    out = df.select("text", html_to_text(_wrap(F.col("text"))).alias("rt"))
+    assert out.filter(F.col("text") != F.col("rt")).count() == 0
+
+
+def test_extracts_datagen_pages_html_binary(spark, pages_sdf):
+    """The fixture's html:binary column (input_hint shape) must extract
+    back to the text column byte-identically for every row."""
+    ex = extract_text_from_html(pages_sdf, out_col="_ext")
+    n = pages_sdf.count()
+    assert ex.filter(F.col("_ext") == F.col("text")).count() == n
+
+
+def test_script_style_subtrees_dropped(spark):
+    df = spark.createDataFrame(
+        [('<body>keep<script>drop() < now</script> this'
+          '<style>.x{a:b}</style> text</body>',)],
+        "h string",
+    )
+    got = df.select(html_to_text(F.col("h")).alias("t")).first()["t"]
+    assert got == "keep this text"
+
+
+def test_extraction_is_jvm_only(spark, pages_sdf):
+    plan = (
+        extract_text_from_html(pages_sdf, out_col="_ext")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "BatchEvalPython" not in plan
