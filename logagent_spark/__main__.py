@@ -28,8 +28,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--input", required=True, help="input parquet dir")
     ap.add_argument("--out", required=True, help="output root dir")
     ap.add_argument("--source", default="pages",
-                    choices=["pages", "text", "none"],
-                    help="envelope adapter for the input table")
+                    choices=["pages", "html", "text", "none"],
+                    help="envelope adapter for the input table; 'html' "
+                         "extracts text scan-side from the binary html "
+                         "column (CC-style corpora with no pre-extracted "
+                         "text)")
     ap.add_argument("--chunks", type=int, default=8)
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--keep", default=None,
@@ -43,6 +46,14 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.source == "pages":
         from logagent_spark.sources import from_pages as adapter
+    elif args.source == "html":
+        from logagent_spark.operators.web import extract_text_from_html
+        from logagent_spark.sources import from_pages
+
+        def adapter(df):
+            return from_pages(
+                extract_text_from_html(df.drop("text"), out_col="text")
+            )
     elif args.source == "text":
         from pyspark.sql import functions as F
 
