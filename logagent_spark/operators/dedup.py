@@ -222,13 +222,19 @@ def minhash_near_duplicates(
     text_col: str,
     *,
     threshold: float = 0.8,
-    num_hashes: int = 64,
-    bands: int = 16,
+    num_hashes: int | None = None,
+    bands: int | None = None,
     shingle_k: int = 5,
     max_bucket_size: int = 4096,
 ) -> DataFrame:
     """Full pipeline: LSH candidates -> exact Jaccard -> thresholded
-    near-dup pairs (a, b, jaccard)."""
+    near-dup pairs (a, b, jaccard). num_hashes/bands default to
+    `suggest_minhash_config(threshold)` — recall-sound banding with a
+    bounded background candidate rate; pass both explicitly to pin a
+    gate/test parameterization."""
+    if num_hashes is None or bands is None:
+        cfg = suggest_minhash_config(threshold)
+        num_hashes, bands = cfg["num_hashes"], cfg["bands"]
     cands = minhash_candidates(
         df, id_col, text_col,
         num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
@@ -628,6 +634,60 @@ def embedding_candidate_pairs(
         .join(eb, "b")
         .select("a", "b", cos.alias("cos"))
     )
+
+
+def suggest_minhash_config(
+    threshold: float,
+    *,
+    target_recall: float = 0.9,
+    background_jaccard: float = 0.05,
+    max_cand_frac: float = 0.01,
+) -> dict:
+    """Pick (num_hashes, bands) for MinHash-LSH banding from the Jaccard
+    threshold — the twin of `suggest_lsh_config` for the shingle family.
+
+    Model: a pair at Jaccard j collides in one band of r rows with j^r;
+    with b bands P(candidate) = 1 - (1 - j^r)^b. Unlike hyperplane LSH
+    (random pairs collide per bit at exactly 1/2), the background
+    collision rate depends on the corpus's typical non-dup Jaccard —
+    `background_jaccard` (default 0.05, a web-corpus-ish shingle
+    overlap) stands in for it when estimating the candidate fraction.
+    The search returns the config with the fewest hashes whose recall at
+    `threshold` meets `target_recall` while background pairs stay under
+    `max_cand_frac`; infeasible thresholds relax the cap by doubling
+    (the returned `expected_cand_frac` is honest about it).
+    """
+    cap = max_cand_frac
+    while True:
+        best = None
+        for r in range(1, 17):
+            bg = background_jaccard ** r
+            for b in range(1, 65):
+                if min(1.0, b * bg) > cap:
+                    continue
+                recall = 1.0 - (1.0 - threshold ** r) ** b
+                if recall < target_recall:
+                    continue
+                key = (r * b, b * bg)
+                if best is None or key < best[0]:
+                    best = (key, r, b, recall, min(1.0, b * bg))
+        if best is not None:
+            break
+        cap *= 2.0
+        if cap > 2.0:
+            r, b = 1, 64
+            best = ((64, 1.0), r, b,
+                    1.0 - (1.0 - threshold) ** b,
+                    min(1.0, 64 * background_jaccard))
+            break
+    _, r, b, recall, cand = best
+    return {
+        "num_hashes": r * b,
+        "bands": b,
+        "rows_per_band": r,
+        "expected_recall": recall,
+        "expected_cand_frac": cand,
+    }
 
 
 def suggest_lsh_config(

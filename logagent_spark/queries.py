@@ -811,6 +811,10 @@ def q_rate_limit_admit(spark, sf_dir):
     through the hot-key-safe CHUNKED path (the production default: a
     Zipf-hot key's per-task input is bounded by rows/chunk, not its full
     history; the unchunked form survives only as the oracle twin). The
+    chunk count auto-sizes with data volume, so at gate scale this
+    collapses to one chunk of the SAME code path; multi-chunk state
+    carry on a Zipf fixture is pytest-pinned equal to the unchunked
+    operator (test_ratelimit: chunked==unchunked, NULL-ts routing). The
     oracle replays the same event-time-ordered recurrence as a DuckDB
     recursive CTE (one recursion step = one row per key)."""
     from logagent_spark.streaming.ratelimit import rate_limited_batch_chunked

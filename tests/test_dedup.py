@@ -269,6 +269,22 @@ def test_suggest_lsh_config():
     )
 
 
+def test_suggest_minhash_config():
+    """MinHash twin of the config guard: recall-sound banding at the
+    threshold, bounded background candidates, honest degradation."""
+    cfg = dedup.suggest_minhash_config(0.8)
+    assert cfg["expected_recall"] >= 0.9
+    assert cfg["expected_cand_frac"] <= 0.01
+    assert cfg["num_hashes"] == cfg["rows_per_band"] * cfg["bands"]
+    # the S-curve midpoint (1/b)^(1/r) should sit near-below the
+    # threshold, not far above it (that would silently drop true pairs)
+    mid = (1.0 / cfg["bands"]) ** (1.0 / cfg["rows_per_band"])
+    assert mid < 0.8
+    # near-exact threshold needs fewer hashes than a loose one
+    tight = dedup.suggest_minhash_config(0.95)
+    assert tight["num_hashes"] <= cfg["num_hashes"]
+
+
 def test_embedding_near_duplicates_auto_config(spark):
     """Defaults (no explicit planes/chunks) flow through
     suggest_lsh_config and still find a planted near-dup."""

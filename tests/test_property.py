@@ -214,3 +214,30 @@ def test_asof_matches_python_bisect(spark, lefts, rights):
         j = bisect.bisect_right(rsorted, s) - 1
         want = float(rsorted[j]) * 2 if j >= 0 else None
         assert got[i] == want, (i, s, got[i], want)
+
+
+HTMLISH = st.text(
+    alphabet="ab<>&\"' ;/scriptlye=\n\t€漢&amp;lt", max_size=60
+)
+
+
+@given(texts=st.lists(HTMLISH, min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_html_escape_extract_round_trip_property(spark, texts):
+    """For ANY text — including strings full of markup metacharacters
+    and pre-escaped-looking sequences — escape -> wrap in a page with
+    script/style noise -> extract must return the original bytes."""
+    from pyspark.sql import functions as F
+
+    from logagent_spark.operators.web import escape_html_text, html_to_text
+
+    df = _msg_df(spark, texts)
+    wrapped = F.concat(
+        F.lit('<html><head><style a="b">x{y:z}</style></head><body><p>'),
+        escape_html_text(F.col("message")),
+        F.lit('</p><script>if(1<2){t("&");}</script></body></html>'),
+    )
+    out = df.select("id", "message",
+                    html_to_text(wrapped).alias("rt")).collect()
+    for r in out:
+        assert r["rt"] == r["message"], (r["message"], r["rt"])
