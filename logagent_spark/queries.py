@@ -1476,6 +1476,27 @@ GROUP BY 1
 """
 
 
+def q_agg_rollup_counts(spark, sf_dir):
+    """Hierarchical counter rollup — the ops-dashboard view of the
+    per-handler counters (per (type, day), per type, grand total) as ONE
+    pass with ROLLUP grouping sets instead of three scans + union.
+    Catalyst expands grouping sets into a single Expand + hash
+    aggregate, so the 10^12-row scan happens once for all three levels."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_AGG_ROLLUP_COUNTS = """
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       count(*) AS n
+FROM events
+GROUP BY ROLLUP (event_type, day)
+"""
+
+
 def q_html_extract_text(spark, sf_dir):
     """The north-star per-row invariant as a driver gate: wrap each
     document's text into an escaped HTML page IN-QUERY (binary, like the
@@ -1942,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degradation_sample": q_degradation_sample,
         "tpch_bucketed_revenue": q_tpch_bucketed_revenue,
         "html_extract_text": q_html_extract_text,
+        "agg_rollup_counts": q_agg_rollup_counts,
     }
 
 
@@ -2004,4 +2026,5 @@ def oracle_sql() -> dict[str, str]:
         "degradation_sample": SQL_DEGRADATION_SAMPLE,
         "tpch_bucketed_revenue": SQL_TPCH_BUCKETED_REVENUE,
         "html_extract_text": SQL_HTML_EXTRACT_TEXT,
+        "agg_rollup_counts": SQL_AGG_ROLLUP_COUNTS,
     }
