@@ -313,10 +313,7 @@ def lsh_recall(spark, cap: int = 1000) -> dict:
     it gates recall, it is not a benched plan)."""
     from pyspark.sql import functions as F
 
-    from logagent_spark.operators.dedup import (
-        cosine,
-        embedding_candidate_pairs,
-    )
+    from logagent_spark.operators.dedup import embedding_candidate_pairs
 
     emb = (
         spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -325,12 +322,29 @@ def lsh_recall(spark, cap: int = 1000) -> dict:
     )
     thr = 400000
     ppm = lambda c: F.floor(c * 1000000).cast("long")  # noqa: E731
-    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("_ea"))
-    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("_eb"))
+    # per-vector norms hoisted (same shape as embedding_candidate_pairs:
+    # norms per PAIR would double the fold work of the n^2/2 baseline)
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x * x),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    w = emb.select("vec_id", "embedding", norm.alias("_n"))
+    a = w.select(F.col("vec_id").alias("a"), F.col("embedding").alias("_ea"),
+                 F.col("_n").alias("_na"))
+    b = w.select(F.col("vec_id").alias("b"), F.col("embedding").alias("_eb"),
+                 F.col("_n").alias("_nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_ea"), F.col("_eb"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    cos_expr = F.when(
+        (F.col("_na") > 0) & (F.col("_nb") > 0),
+        dot / (F.col("_na") * F.col("_nb")),
+    ).otherwise(F.lit(0.0))
     exact = {
         (r["a"], r["b"])
         for r in a.join(b, F.col("a") < F.col("b"))
-        .select("a", "b", ppm(cosine(F.col("_ea"), F.col("_eb"))).alias("p"))
+        .select("a", "b", ppm(cos_expr).alias("p"))
         .filter(F.col("p") >= thr)
         .collect()
     }
