@@ -339,19 +339,25 @@ def connected_components(
         )
         # pointer jumping: component <- min(component, component's own
         # label). Components are node ids, so the hop is a self-join of
-        # the skinny labels frame; left join because a min label may be
-        # a node whose own row hasn't changed (then hop == itself).
-        hop = neigh.select(
-            F.col("id").alias("component"),
-            F.col("component").alias("hopped"),
-        )
-        neigh = neigh.join(hop, "component", "left").select(
-            "id",
-            F.least(
-                F.col("component"),
-                F.coalesce(F.col("hopped"), F.col("component")),
-            ).alias("component"),
-        )
+        # the skinny labels frame (NO edges involved — far cheaper than
+        # the neighbor step); left join because a min label may be a
+        # node whose own row hasn't changed (then hop == itself).
+        # Applied 3x per round: each application composes the label map
+        # with itself, so stale label chains collapse ~8x faster per
+        # round at the cost of three skinny self-joins (measured on a
+        # 600k-edge random graph: 30 rounds -> 13).
+        for _ in range(3):
+            hop = neigh.select(
+                F.col("id").alias("component"),
+                F.col("component").alias("hopped"),
+            )
+            neigh = neigh.join(hop, "component", "left").select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("hopped"), F.col("component")),
+                ).alias("component"),
+            )
         # truncate lineage EVERY round: without this the logical plan
         # nests one join+agg per iteration and Catalyst analysis blows
         # up around ~10 rounds (the classic iterative-DataFrame trap)
