@@ -226,3 +226,59 @@ def test_streaming_session_window_matches_batch_sessionize(spark, tmp_path):
     )
     assert got == want and len(got) == 6
     assert not any(r["uid"] == 99 for r in emitted)  # open session held back
+
+
+def test_streaming_dedup_exact_across_batches(spark, tmp_path):
+    """First-arrival-wins exact dedup with engine state: duplicates are
+    flagged within a batch AND across micro-batches (the state store
+    remembers every content hash ever admitted); the admitted set equals
+    the batch dedup_exact winners over the full input when ids follow
+    arrival order."""
+    import time as _time
+
+    from logagent_spark.operators.dedup import dedup_exact
+    from logagent_spark.streaming.dedup import streaming_dedup_exact
+
+    in_dir = str(tmp_path / "dd_in")
+    contents = [f"doc content number {i}" for i in range(5)]
+    # batch 1: contents 0-4, each twice (in-batch dups), ids 0-9
+    rows1 = [(i, contents[i % 5]) for i in range(10)]
+    # batch 2: contents 0-4 again (cross-batch dups) + new 5-6, ids 10-21
+    rows2 = [(10 + i, contents[i % 5]) for i in range(10)]
+    rows2 += [(20, "fresh doc twenty"), (21, "fresh doc twenty-one")]
+    spark.createDataFrame(rows1, "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    _time.sleep(1.2)  # distinct mod-times => deterministic batch order
+    spark.createDataFrame(rows2, "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        streaming_dedup_exact(stream, "doc_id", "text")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("dd_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from dd_test").collect()
+    assert len(got) == 22                      # flagged, never dropped
+    admitted = sorted(r["doc_id"] for r in got if not r["is_dup"])
+    # exactly one winner per distinct content
+    assert len(admitted) == 7
+    # equals the batch twin over the full input (min id per content)
+    full = spark.read.parquet(in_dir)
+    want = sorted(r["doc_id"]
+                  for r in dedup_exact(full, "doc_id", "text").collect())
+    assert admitted == want == [0, 1, 2, 3, 4, 20, 21]
+    # every duplicate row carries the hash of its winner
+    by_hash = {}
+    for r in got:
+        by_hash.setdefault(r["content_hash"], []).append(r)
+    for h, rs in by_hash.items():
+        assert sum(not r["is_dup"] for r in rs) == 1, h
