@@ -296,3 +296,38 @@ def test_curation_persist_option_scans_source_once(spark):
     a = sorted((r["doc_id"], r["lang"]) for r in default.collect())
     b = sorted((r["doc_id"], r["lang"]) for r in persisted.collect())
     assert a == b and len(a) > 0
+
+
+def test_sessionize_single_window_shuffle(spark):
+    """Sessionization is ONE window shuffle on the key — no join, no
+    extra Exchange beyond the partitionBy(user) sort."""
+    from logagent_spark.queries import q_sessionize
+
+    df = q_sessionize(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    # one exchange for the window partitionBy, one for the final groupBy
+    assert plan.count("Exchange") <= 2, plan
+    assert "Python" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_join_no_range_explosion(spark):
+    """The union-and-carry as-of join must not compile to a range join
+    or cartesian product — one union, one window shuffle."""
+    from logagent_spark.queries import q_asof_join
+
+    df = q_asof_join(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange") <= 2, plan
+    assert "Union" in plan
+
+
+def test_tpch_region_revenue_broadcasts_dimensions(spark):
+    """Star query: every dimension joins by broadcast; the only
+    shuffle-join candidate is orders x lineitem."""
+    from logagent_spark.queries import q_tpch_region_revenue
+
+    df = q_tpch_region_revenue(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
