@@ -162,3 +162,84 @@ def ivf_topk(
     probes = ivf_probes(centroids, query, nprobe)
     pruned = indexed.filter(F.col(bucket_col).isin(probes))
     return brute_force_topk(pruned, emb_col, query, k=k, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# batched k-NN join (many queries at once)
+
+def knn_join(
+    df: DataFrame,
+    emb_col: str,
+    queries: "list[tuple[int, list[float]]]",
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact k nearest corpus rows for EVERY query vector in one corpus
+    scan -> (query_id, vec_id, cos_ppm, rank).
+
+    The single-query `brute_force_topk` gets TakeOrderedAndProject for
+    free; the batched form cannot (per-key limits have no native
+    operator), so this is the sanctioned mapInPandas pattern: each Arrow
+    batch computes ONE numpy matmul (batch x dim @ dim x Q) and emits
+    only its per-query top-k — at most Q*k skinny rows per batch leave
+    the scan, so the follow-up global top-k window shuffles
+    O(Q * k * n_batches) rows, never the corpus. Scores are quantized to
+    ppm (floor(cos * 1e6)) with (ppm DESC, id ASC) ordering so ranks are
+    deterministic and engine-portable; per-batch selection under the
+    SAME order makes the two-phase top-k exact, not approximate.
+
+    Q (number of queries) rides the closure — fine for the dozens-of-
+    queries regime; for millions of queries build the IVF index and join
+    on probe buckets instead."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    qids = [int(q[0]) for q in queries]
+    qmat = np.asarray([q[1] for q in queries], dtype=np.float64).T  # dim x Q
+    qnorm = np.linalg.norm(qmat, axis=0)
+    qnorm[qnorm == 0] = 1.0
+
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField(id_col, T.LongType()),
+        T.StructField("cos_ppm", T.LongType()),
+    ])
+
+    def part(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            e = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[emb_col]]
+            )
+            ids = pdf[id_col].to_numpy()
+            en = np.linalg.norm(e, axis=1)
+            en[en == 0] = 1.0
+            # dot / (na * nb): same float-op sequence as dedup.cosine()
+            # and the DuckDB oracle, so ppm floors agree cross-engine
+            cos = (e @ qmat) / (en[:, None] * qnorm[None, :])
+            ppm = np.floor(cos * 1_000_000).astype(np.int64)
+            rows = []
+            for j, qid in enumerate(qids):
+                col = ppm[:, j]
+                top = min(k, n)
+                # exact per-batch top-k under (ppm desc, id asc)
+                order = np.lexsort((ids, -col))[:top]
+                rows.append(pd.DataFrame({
+                    "query_id": qid, id_col: ids[order],
+                    "cos_ppm": col[order],
+                }))
+            yield pd.concat(rows, ignore_index=True)
+
+    partial = df.select(id_col, emb_col).mapInPandas(part, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_ppm").desc(), F.col(id_col).asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1476,6 +1476,48 @@ GROUP BY 1
 """
 
 
+def q_knn_join(spark, sf_dir):
+    """Batched similarity search: exact k-NN JOIN of 4 query vectors
+    against the corpus in ONE scan (operators/similarity.knn_join — a
+    numpy matmul per Arrow batch emits only per-query top-k, so the
+    follow-up global window shuffles O(Q*k*batches) skinny rows, never
+    the corpus). Query vectors are the first 4 embeddings (collected
+    driver-side by necessity — they parameterize the scan); the oracle
+    replays the full cross join + rank in SQL."""
+    from logagent_spark.operators.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qrows = emb.filter(F.col("vec_id") < 4).collect()
+    queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+    corpus = emb.filter(F.col("vec_id") >= 4)
+    return knn_join(corpus, "embedding", queries, k=5).select(
+        "query_id", "vec_id", "cos_ppm", "rank"
+    )
+
+
+SQL_KNN_JOIN = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS e
+  FROM embeddings WHERE vec_id < 4
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e
+  FROM embeddings WHERE vec_id >= 4
+), s AS (
+  SELECT q.qid AS query_id, c.vec_id,
+         CAST(floor(list_cosine_similarity(q.e, c.e) * 1000000)
+              AS BIGINT) AS cos_ppm
+  FROM q, c
+), r AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_ppm DESC, vec_id
+  ) AS INTEGER) AS rank FROM s
+)
+SELECT query_id, vec_id, cos_ppm, rank FROM r WHERE rank <= 5
+"""
+
+
 def q_agg_rollup_counts(spark, sf_dir):
     """Hierarchical counter rollup — the ops-dashboard view of the
     per-handler counters (per (type, day), per type, grand total) as ONE
@@ -1964,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_bucketed_revenue": q_tpch_bucketed_revenue,
         "html_extract_text": q_html_extract_text,
         "agg_rollup_counts": q_agg_rollup_counts,
+        "knn_join": q_knn_join,
     }
 
 
@@ -2027,4 +2070,5 @@ def oracle_sql() -> dict[str, str]:
         "tpch_bucketed_revenue": SQL_TPCH_BUCKETED_REVENUE,
         "html_extract_text": SQL_HTML_EXTRACT_TEXT,
         "agg_rollup_counts": SQL_AGG_ROLLUP_COUNTS,
+        "knn_join": SQL_KNN_JOIN,
     }

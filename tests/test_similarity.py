@@ -104,3 +104,35 @@ def test_kmeans_refine_tightens_assignment(emb_df, emb_np):
     obj0 = (normed @ cents0.T).max(axis=1).mean()
     obj1 = (normed @ cents1.T).max(axis=1).mean()
     assert obj1 >= obj0 - 1e-9
+
+
+def test_knn_join_matches_single_query_topk(spark):
+    """The batched k-NN join must agree with the single-query exact
+    top-k for every query, including planted nearest neighbors."""
+    import numpy as np
+
+    from logagent_spark.operators.similarity import brute_force_topk, knn_join
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(40, 16)
+    base[30] = base[0] + 0.01 * rng.randn(16)  # planted neighbor of q0
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = [(i, base[i].tolist()) for i in range(3)]
+    from pyspark.sql import functions as F
+
+    corpus = df.filter(F.col("vec_id") >= 3)
+
+    got = knn_join(corpus, "embedding", queries, k=4).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert set(by_q) == {0, 1, 2}
+    assert all(len(v) == 4 for v in by_q.values())
+    assert by_q[0][0] == 30  # planted neighbor ranks first for q0
+
+    for qid, qvec in queries:
+        want = [r["vec_id"] for r in brute_force_topk(
+            corpus, "embedding", qvec, k=4).collect()]
+        # same id set; ordering may differ only on exact ppm ties
+        assert set(by_q[qid]) == set(want), qid
