@@ -295,7 +295,8 @@ def operator_queries(spark) -> dict:
         # analytics layer (VERDICT r2 #5): regression-track these plans
         # like the parse/route ones
         "sessionize", "asof_join", "tpch_region_revenue",
-        "dedup_cluster_keep", "curation_pipeline",
+        "dedup_cluster_keep", "curation_pipeline", "knn_join",
+        "html_extract_text", "agg_rollup_counts",
     ]
     out = {}
     fns = q.queries()
