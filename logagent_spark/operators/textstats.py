@@ -217,3 +217,44 @@ def with_text_stats(
         langid(c).alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def duplicated_window_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    w: int = 5,
+) -> DataFrame:
+    """Cross-document repeated-substring signal — the statistic behind
+    substring-level dedup of training corpora (boilerplate, licenses,
+    navigation chrome recur VERBATIM across pages while whole documents
+    differ, so document-level dedup never sees them).
+
+    Per document: how many of its w-token windows occur more than once
+    in the ENTIRE corpus (multiplicity counted, so a within-doc repeat
+    is a duplicate too) -> (id, n_windows, n_dup_windows, dup_frac_ppm).
+    Downstream policy filters on the fraction or excises the spans.
+
+    Scale shape: windows derive scan-side (the zip-shift shingle path,
+    O(w * tokens) per doc); the corpus-wide window count is a
+    md5-key groupBy with map-side combine, and the count join is
+    shuffle-on-window-hash — three shuffles of O(total windows) skinny
+    rows, the honest cost of an exact corpus-wide substring census (the
+    suffix-array formulation shuffles every token too). At 10^12 docs,
+    replace the exact count with a count-min/bloom prefilter and keep
+    this as the verify pass on candidates."""
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), w)).alias("_s")
+    ).select(id_col, F.md5("_s").alias("_w"))
+    counts = exploded.groupBy("_w").agg(F.count(F.lit(1)).alias("_n"))
+    per_doc = (
+        exploded.join(counts, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("_n") >= 2).cast("long")).alias("n_dup_windows"),
+        )
+    )
+    return per_doc.select(
+        id_col, "n_windows", "n_dup_windows",
+        F.floor(F.col("n_dup_windows") * 1000000 / F.col("n_windows"))
+        .cast("long").alias("dup_frac_ppm"),
+    )

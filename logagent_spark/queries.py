@@ -1476,6 +1476,44 @@ GROUP BY 1
 """
 
 
+def q_text_dup_windows(spark, sf_dir):
+    """Cross-document repeated-substring census (the statistic behind
+    substring-level corpus dedup): per document, how many of its 5-token
+    windows occur >= 2 times corpus-wide (multiplicity counted). The
+    oracle unnests the same shingle lists (NO list_distinct — a
+    within-doc repeat is a duplicate) and replays the census in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    return ts.duplicated_window_stats(docs, "doc_id", "text", w=5)
+
+
+SQL_TEXT_DUP_WINDOWS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, ' +'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 5 THEN
+      list_transform(generate_series(1, len(t) - 4),
+                     i -> array_to_string(list_slice(t, i, i + 4), ' '))
+    ELSE [array_to_string(t, ' ')] END AS s
+  FROM toks
+), w AS (
+  SELECT doc_id, unnest(s) AS win FROM sh
+), c AS (
+  SELECT win, count(*) AS n FROM w GROUP BY 1
+)
+SELECT w.doc_id,
+       count(*) AS n_windows,
+       CAST(sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_windows,
+       CAST(floor(sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END)
+                  * 1000000.0 / count(*)) AS BIGINT) AS dup_frac_ppm
+FROM w JOIN c USING (win)
+GROUP BY 1
+"""
+
+
 def q_knn_join(spark, sf_dir):
     """Batched similarity search: exact k-NN JOIN of 4 query vectors
     against the corpus in ONE scan (operators/similarity.knn_join — a
@@ -2007,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_text": q_html_extract_text,
         "agg_rollup_counts": q_agg_rollup_counts,
         "knn_join": q_knn_join,
+        "text_dup_windows": q_text_dup_windows,
     }
 
 
@@ -2071,4 +2110,5 @@ def oracle_sql() -> dict[str, str]:
         "html_extract_text": SQL_HTML_EXTRACT_TEXT,
         "agg_rollup_counts": SQL_AGG_ROLLUP_COUNTS,
         "knn_join": SQL_KNN_JOIN,
+        "text_dup_windows": SQL_TEXT_DUP_WINDOWS,
     }

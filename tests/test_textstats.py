@@ -108,3 +108,29 @@ def test_repetition_stats(spark):
     assert got[1] == (0.0, round(1 / 3, 6))
     assert got[2] == (0.0, 0.0)
     assert got[3] == (0.0, 0.0)
+
+
+def test_duplicated_window_stats_planted_boilerplate(spark):
+    """Docs sharing a verbatim boilerplate sentence show exactly its
+    windows as duplicated; a unique doc shows zero; a within-doc repeat
+    counts too (multiplicity, not distinct)."""
+    from logagent_spark.operators.textstats import duplicated_window_stats
+
+    boiler = "all rights reserved by the site owner today"  # 8 tokens
+    rows = [
+        (0, boiler + " unique tail zero one two three four five six"),
+        (1, boiler + " other ending seven eight nine ten eleven twelve"),
+        (2, "completely different text with no shared window at all here"),
+        (3, "rep rep rep rep rep rep rep rep"),  # self-repeating windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           duplicated_window_stats(df, "doc_id", "text", w=5).collect()}
+    # 8-token boilerplate -> 4 shared 5-grams at the head of docs 0/1
+    assert got[0]["n_dup_windows"] == 4 and got[1]["n_dup_windows"] == 4
+    assert got[2]["n_dup_windows"] == 0
+    # "rep"x8 -> 4 identical windows, all duplicates of each other
+    assert got[3]["n_windows"] == 4 and got[3]["n_dup_windows"] == 4
+    assert got[3]["dup_frac_ppm"] == 1_000_000
+    for r in got.values():
+        assert r["n_windows"] == r["n_windows"]  # schema sanity
