@@ -258,3 +258,70 @@ def duplicated_window_stats(
         F.floor(F.col("n_dup_windows") * 1000000 / F.col("n_windows"))
         .cast("long").alias("dup_frac_ppm"),
     )
+
+
+def excise_duplicated_windows(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    w: int = 5,
+) -> DataFrame:
+    """Substring-level dedup, the cleaning step behind
+    `duplicated_window_stats`: REMOVE every token covered by a w-token
+    window that occurs >= 2 times corpus-wide, keep everything else in
+    order -> (id, text_clean). Shared boilerplate/license/chrome spans
+    vanish from every document while the surrounding unique prose
+    survives; output text is whitespace-normalized by construction
+    (token-level reconstruction).
+
+    Scale shape: window census as in duplicated_window_stats; token
+    reconstruction explodes (id, position, token) — O(total tokens) of
+    skinny rows, the inherent cost of span excision — then one
+    left-anti join against covered positions and a per-doc sort-free
+    rebuild (collect_list of (pos, tok) structs, array_sort, join).
+    Per-doc memory is bounded by document length. A doc whose every
+    token is covered (a pure-boilerplate page) comes back as ''."""
+    sh = shingles(F.col(text_col), w)
+    win_pos = (
+        df.select(F.col(id_col), F.posexplode(sh).alias("_p0", "_s"))
+        .select(id_col, (F.col("_p0") + 1).alias("_p"),
+                F.md5("_s").alias("_w"))
+    )
+    counts = win_pos.groupBy("_w").agg(F.count(F.lit(1)).alias("_n"))
+    dup_cover = (
+        win_pos.join(counts, "_w")
+        .filter(F.col("_n") >= 2)
+        .select(
+            F.col(id_col).alias("_cid"),
+            F.explode(
+                F.sequence(F.col("_p"), F.col("_p") + (w - 1))
+            ).alias("_ci"),
+        )
+        .distinct()
+    )
+    tok_pos = (
+        df.select(F.col(id_col),
+                  F.posexplode(tokens(F.col(text_col))).alias("_t0", "_tok"))
+        .select(id_col, (F.col("_t0") + 1).alias("_ti"), "_tok")
+    )
+    kept = tok_pos.join(
+        dup_cover,
+        (tok_pos[id_col] == dup_cover["_cid"])
+        & (tok_pos["_ti"] == dup_cover["_ci"]),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_ti", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("text_clean")
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )

@@ -1514,6 +1514,53 @@ GROUP BY 1
 """
 
 
+def q_text_excise_windows(spark, sf_dir):
+    """Substring-level dedup CLEANING: every token covered by a 5-token
+    window occurring >= 2 times corpus-wide is excised; the oracle
+    rebuilds each cleaned text with the same census + position joins in
+    SQL, so the returned strings must match byte-for-byte."""
+    docs = _t(spark, sf_dir, "documents")
+    return ts.excise_duplicated_windows(docs, "doc_id", "text", w=5)
+
+
+SQL_TEXT_EXCISE_WINDOWS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, ' +'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 5 THEN
+      list_transform(generate_series(1, len(t) - 4),
+                     i -> array_to_string(list_slice(t, i, i + 4), ' '))
+    ELSE [array_to_string(t, ' ')] END AS s
+  FROM toks
+), pos AS (
+  SELECT doc_id, u.wp[1] AS win, u.wp[2] AS p
+  FROM sh, unnest(list_zip(s, generate_series(1, len(s)))) AS u(wp)
+), c AS (
+  SELECT win, count(*) AS n FROM pos GROUP BY 1
+), covered AS (
+  SELECT DISTINCT pos.doc_id, cp.ci AS ci
+  FROM pos JOIN c USING (win),
+       unnest(generate_series(pos.p, pos.p + 4)) AS cp(ci)
+  WHERE c.n >= 2
+), tp AS (
+  SELECT doc_id, u.tp2[1] AS tok, u.tp2[2] AS ti
+  FROM toks, unnest(list_zip(t, generate_series(1, len(t)))) AS u(tp2)
+), rebuilt AS (
+  SELECT tp.doc_id,
+         string_agg(tp.tok, ' ' ORDER BY tp.ti)
+           FILTER (WHERE covered.ci IS NULL) AS text_clean
+  FROM tp LEFT JOIN covered
+    ON tp.doc_id = covered.doc_id AND tp.ti = covered.ci
+  GROUP BY 1
+)
+SELECT d.doc_id, coalesce(r.text_clean, '') AS text_clean
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def q_knn_join(spark, sf_dir):
     """Batched similarity search: exact k-NN JOIN of 4 query vectors
     against the corpus in ONE scan (operators/similarity.knn_join — a
@@ -2046,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_rollup_counts": q_agg_rollup_counts,
         "knn_join": q_knn_join,
         "text_dup_windows": q_text_dup_windows,
+        "text_excise_windows": q_text_excise_windows,
     }
 
 
@@ -2111,4 +2159,5 @@ def oracle_sql() -> dict[str, str]:
         "agg_rollup_counts": SQL_AGG_ROLLUP_COUNTS,
         "knn_join": SQL_KNN_JOIN,
         "text_dup_windows": SQL_TEXT_DUP_WINDOWS,
+        "text_excise_windows": SQL_TEXT_EXCISE_WINDOWS,
     }

@@ -134,3 +134,21 @@ def test_duplicated_window_stats_planted_boilerplate(spark):
     assert got[3]["dup_frac_ppm"] == 1_000_000
     for r in got.values():
         assert r["n_windows"] == r["n_windows"]  # schema sanity
+
+
+def test_excise_duplicated_windows_planted(spark):
+    """Shared 5-gram spans vanish from every doc carrying them; unique
+    prose survives in order; untouched docs come back token-joined; a
+    doc that is entirely boilerplate comes back empty."""
+    from logagent_spark.operators.textstats import excise_duplicated_windows
+
+    rows = [
+        (0, "a b c d e f g h"),
+        (1, "a b c d e x y z"),
+        (2, "p q r s t u v w"),
+        (3, "a b c d e"),           # nothing but the shared window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text_clean"]
+           for r in excise_duplicated_windows(df, "doc_id", "text").collect()}
+    assert got == {0: "f g h", 1: "x y z", 2: "p q r s t u v w", 3: ""}
