@@ -49,11 +49,51 @@ def asof_join_backward(
     nearest right ROW's — a legitimate NULL in the matched snapshot
     survives instead of being skipped for an older snapshot's value
     (which would diverge from a true as-of join)."""
+    return _asof_join(
+        left, right, key=key, left_ts=left_ts, right_ts=right_ts,
+        value_cols=value_cols, order_cols=order_cols,
+        direction="backward",
+    )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Mirror of `asof_join_backward`: nearest right row with
+    right_ts >= left_ts (the "next snapshot" join — e.g. attach the next
+    deploy/config change after each event). Same union-and-carry plan
+    with the window order REVERSED (ts desc), so the cost is identical:
+    one shuffle of skinny rows on the key, no range-join explosion."""
+    return _asof_join(
+        left, right, key=key, left_ts=left_ts, right_ts=right_ts,
+        value_cols=value_cols, order_cols=order_cols,
+        direction="forward",
+    )
+
+
+def _asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    order_cols: list[str] | None,
+    direction: str,
+) -> DataFrame:
     clash = [c for c in value_cols if c in left.columns]
     if clash:
         raise ValueError(
-            f"asof_join_backward: value_cols {clash} collide with left "
-            "columns — rename before joining"
+            f"asof_join_{direction}: value_cols {clash} collide with "
+            "left columns — rename before joining"
         )
     lcols = left.columns
     carry_t = T.StructType(
@@ -76,10 +116,18 @@ def asof_join_backward(
             r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     unioned = l_tag.unionByName(r_tag.select(*l_tag.columns))
 
-    order = ["_asof_ts", _SIDE, *(order_cols or [])]
+    # either direction keeps rights-at-equal-ts BEFORE the left rows
+    # (side asc after the ts sort), so an exactly-matching snapshot
+    # always matches
+    ts_first = (
+        F.col("_asof_ts").asc() if direction == "backward"
+        else F.col("_asof_ts").desc()
+    )
+    order = [ts_first, F.col(_SIDE).asc(),
+             *[F.col(c).asc() for c in (order_cols or [])]]
     w = (
         Window.partitionBy(key)
-        .orderBy(*[F.col(c) for c in order])
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

@@ -1358,6 +1358,42 @@ FROM events l ASOF LEFT JOIN snaps r
 """
 
 
+def q_asof_join_forward(spark, sf_dir):
+    """Forward as-of join: every event picks the nearest FOLLOWING
+    snapshot (the "next deploy after this event" shape). Same
+    union-and-carry plan as backward with the window order reversed;
+    the oracle is DuckDB's native ASOF JOIN with the <= comparison."""
+    from logagent_spark.operators.asof import asof_join_forward
+
+    ev = _t(spark, sf_dir, "events")
+    snaps = (
+        ev.filter(F.col("event_id") % 97 == 0)
+        .groupBy("event_type", F.col("ts").alias("snap_ts"))
+        .agg(F.max("value").alias("snap_value"))
+    )
+    out = asof_join_forward(
+        ev.select("event_id", "event_type", "ts"), snaps,
+        key="event_type", left_ts="ts", right_ts="snap_ts",
+        value_cols=["snap_value"], order_cols=["event_id"],
+    )
+    return out.select(
+        "event_id", "event_type",
+        _ppm(F.col("snap_value")).alias("snap_ppm"),
+    )
+
+
+SQL_ASOF_JOIN_FORWARD = """
+WITH snaps AS (
+  SELECT event_type, ts AS snap_ts, max(value) AS snap_value
+  FROM events WHERE event_id % 97 = 0 GROUP BY 1, 2
+)
+SELECT l.event_id, l.event_type,
+       CAST(floor(r.snap_value * 1000000) AS BIGINT) AS snap_ppm
+FROM events l ASOF LEFT JOIN snaps r
+  ON l.event_type = r.event_type AND l.ts <= r.snap_ts
+"""
+
+
 def _cents(col) -> F.Column:
     return F.floor(col * 100).cast("long")
 
@@ -2077,6 +2113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "checkpoint_resume": q_checkpoint_resume,
         "asof_join": q_asof_join,
+        "asof_join_forward": q_asof_join_forward,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_top_orders": q_tpch_top_orders,
         "tpch_region_revenue": q_tpch_region_revenue,
@@ -2160,4 +2197,5 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": SQL_KNN_JOIN,
         "text_dup_windows": SQL_TEXT_DUP_WINDOWS,
         "text_excise_windows": SQL_TEXT_EXCISE_WINDOWS,
+        "asof_join_forward": SQL_ASOF_JOIN_FORWARD,
     }

@@ -64,3 +64,29 @@ def test_asof_value_col_collision_raises(spark):
     with pytest.raises(ValueError, match="collide"):
         asof_join_backward(left, right, key="k", left_ts="ts",
                            right_ts="rts", value_cols=["v"])
+
+
+def test_asof_forward_semantics(spark):
+    """Forward mirror: nearest FOLLOWING right row; equal ts matches;
+    NULL when nothing follows; per-key isolation."""
+    from logagent_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [("a", 5.0, 1), ("a", 10.0, 2), ("a", 15.0, 3),
+         ("b", 1.0, 4), ("c", 9.0, 5)],
+        "k string, sec double, lid long",
+    ).select("k", F.timestamp_seconds("sec").alias("ts"), "lid")
+    right = spark.createDataFrame(
+        [("a", 10.0, 100.0), ("a", 12.0, 120.0), ("b", 3.0, 30.0)],
+        "k string, rsec double, v double",
+    ).select("k", F.timestamp_seconds("rsec").alias("rts"), "v")
+
+    out = {r["lid"]: r["v"] for r in asof_join_forward(
+        left, right, key="k", left_ts="ts", right_ts="rts",
+        value_cols=["v"], order_cols=["lid"]).collect()}
+    assert out[1] == 100.0         # nearest following, not farthest
+    assert out[2] == 100.0         # equal ts matches (<= semantics)
+    assert out[3] is None          # nothing follows t=15
+    assert out[4] == 30.0          # per-key isolation
+    assert out[5] is None          # key with no right rows
+    assert len(out) == 5
