@@ -294,7 +294,8 @@ def operator_queries(spark) -> dict:
         "embedding_near_dup", "dedup_simhash_pairs", "ann_ivf_topk",
         # analytics layer (VERDICT r2 #5): regression-track these plans
         # like the parse/route ones
-        "sessionize", "asof_join", "tpch_region_revenue",
+        "sessionize", "asof_join", "asof_join_forward",
+        "tpch_region_revenue",
         "dedup_cluster_keep", "curation_pipeline", "knn_join",
         "html_extract_text", "agg_rollup_counts",
         "text_dup_windows", "text_excise_windows",
