@@ -230,9 +230,15 @@ def minhash_near_duplicates(
     """Full pipeline: LSH candidates -> exact Jaccard -> thresholded
     near-dup pairs (a, b, jaccard). num_hashes/bands default to
     `suggest_minhash_config(threshold)` — recall-sound banding with a
-    bounded background candidate rate; pass both explicitly to pin a
-    gate/test parameterization."""
-    if num_hashes is None or bands is None:
+    bounded background candidate rate; pass BOTH explicitly to pin a
+    gate/test parameterization (banding math couples them, so one
+    without the other is almost certainly a mistake and raises)."""
+    if (num_hashes is None) != (bands is None):
+        raise ValueError(
+            "pass num_hashes and bands together (banding couples them); "
+            "omit both to use suggest_minhash_config(threshold)"
+        )
+    if num_hashes is None:
         cfg = suggest_minhash_config(threshold)
         num_hashes, bands = cfg["num_hashes"], cfg["bands"]
     cands = minhash_candidates(

@@ -167,6 +167,117 @@ def ivf_topk(
 # ---------------------------------------------------------------------------
 # batched k-NN join (many queries at once)
 
+def _seq_norm2(mat: np.ndarray, axis_dim: int) -> np.ndarray:
+    """Sum of squares as a sequential left fold over dimensions
+    (vectorized across the other axis) — the same rounding sequence as
+    F.aggregate / DuckDB, unlike numpy's pairwise np.sum."""
+    mat = np.moveaxis(np.asarray(mat, dtype=np.float64), axis_dim, 0)
+    acc = np.zeros(mat.shape[1:], dtype=np.float64)
+    for d in range(mat.shape[0]):
+        acc += mat[d] * mat[d]
+    return acc
+
+
+def _seq_dot_and_norm2(e: np.ndarray, qmat: np.ndarray):
+    """(n x dim) rows vs (dim x Q) queries -> sequential-fold dot
+    (n x Q) and row sum-of-squares (n,). Each fold step is one rounded
+    multiply + one rounded add per element, in dimension order —
+    bit-identical to a scalar left fold."""
+    n, dim = e.shape
+    dot = np.zeros((n, qmat.shape[1]), dtype=np.float64)
+    n2 = np.zeros(n, dtype=np.float64)
+    for d in range(dim):
+        col = e[:, d]
+        dot += col[:, None] * qmat[d][None, :]
+        n2 += col * col
+    return dot, n2
+
+
+def probe_buckets(emb: Column, centroids: np.ndarray, nprobe: int) -> Column:
+    """Top-nprobe centroid ids by dot product, as a pure Column
+    expression: the C dots land in ONE struct array (each dot evaluated
+    once per row — see centroid_assignment on the HOF-CSE gap),
+    array_sort orders by (-dot, cid) so ties resolve to the lowest
+    centroid id, and slice+transform yields the probe id list."""
+    entries = F.array(*[
+        F.struct(
+            (-F.aggregate(
+                F.zip_with(emb, lit_vec(c), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )).alias("nd"),
+            F.lit(int(i)).cast("int").alias("cid"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+    return F.transform(
+        F.slice(F.array_sort(entries), 1, nprobe), lambda s: s["cid"]
+    )
+
+
+def knn_join_ivf(
+    corpus: DataFrame,
+    emb_col: str,
+    queries_df: DataFrame,
+    centroids: np.ndarray,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_emb_col: str = "qemb",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """k-NN join for the LARGE-Q regime knn_join's closure bound rules
+    out: queries are a DataFrame, so Q is unbounded and nothing rides
+    the task closure.
+
+    Plan shape: corpus rows get their single IVF bucket scan-side
+    (argmax Column expr — at 10^12 rows the assignment is materialized
+    once at ingest via ivf_index and the table is write-partitioned by
+    it); each query explodes to its nprobe probe buckets; candidates
+    meet on the bucket key. With `broadcast_queries` (default) the
+    probed query side — Q*nprobe skinny rows — broadcasts, so the
+    corpus is scanned once and NEVER shuffled; for Q in the millions
+    set it False and the join shuffles both sides co-partitioned on
+    the bucket key. Scoring is the JVM `cosine` expr floored to ppm
+    (identical fold order to the DuckDB oracle); the global per-query
+    top-k window shuffles only candidate-pair skinny rows, bounded by
+    bucket occupancy * nprobe. nprobe = len(centroids) is full probe —
+    exact brute force, the oracle configuration; partial probe trades
+    recall for scan fraction exactly like ivf_topk."""
+    from pyspark.sql import Window
+
+    probed = queries_df.select(
+        F.col(query_id_col),
+        F.col(query_emb_col).alias("_qe"),
+        F.explode(
+            probe_buckets(F.col(query_emb_col), centroids, nprobe)
+        ).alias("_bkt"),
+    )
+    if broadcast_queries:
+        probed = F.broadcast(probed)
+    indexed = corpus.select(
+        F.col(id_col),
+        F.col(emb_col).alias("_ce"),
+        centroid_assignment(F.col(emb_col), centroids).alias("_bkt"),
+    )
+    scored = probed.join(indexed, "_bkt").select(
+        query_id_col,
+        id_col,
+        F.floor(cosine(F.col("_qe"), F.col("_ce")) * 1_000_000)
+        .cast("long")
+        .alias("cos_ppm"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_ppm").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def knn_join(
     df: DataFrame,
     emb_col: str,
@@ -174,6 +285,7 @@ def knn_join(
     *,
     k: int = 10,
     id_col: str = "vec_id",
+    max_queries: int = 1024,
 ) -> DataFrame:
     """Exact k nearest corpus rows for EVERY query vector in one corpus
     scan -> (query_id, vec_id, cos_ppm, rank).
@@ -190,16 +302,24 @@ def knn_join(
     SAME order makes the two-phase top-k exact, not approximate.
 
     Q (number of queries) rides the closure — fine for the dozens-of-
-    queries regime; for millions of queries build the IVF index and join
-    on probe buckets instead."""
+    queries regime, and `max_queries` makes that bound explicit (the
+    closure broadcast is Q*dim floats and every batch materializes an
+    n x Q score block). For larger Q use `knn_join_ivf`: queries become
+    a DataFrame and candidates meet on IVF bucket keys."""
     import pandas as pd
 
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
+    if len(queries) > max_queries:
+        raise ValueError(
+            f"knn_join got {len(queries)} queries > max_queries="
+            f"{max_queries}; use knn_join_ivf for the large-Q regime"
+        )
+
     qids = [int(q[0]) for q in queries]
     qmat = np.asarray([q[1] for q in queries], dtype=np.float64).T  # dim x Q
-    qnorm = np.linalg.norm(qmat, axis=0)
+    qnorm = np.sqrt(_seq_norm2(qmat, 0))
     qnorm[qnorm == 0] = 1.0
 
     out_schema = T.StructType([
@@ -217,11 +337,16 @@ def knn_join(
                 [np.asarray(v, dtype=np.float64) for v in pdf[emb_col]]
             )
             ids = pdf[id_col].to_numpy()
-            en = np.linalg.norm(e, axis=1)
+            # dot and norms as SEQUENTIAL left folds over dimensions
+            # (vectorized across rows): acc <- round(acc + round(x*y))
+            # per step — bit-identical to dedup.cosine()'s F.aggregate
+            # fold and DuckDB's list_cosine_similarity. BLAS dgemm uses
+            # blocked/pairwise summation, which can land a few ulps off
+            # and flip the ppm floor at integer boundaries.
+            dot, en2 = _seq_dot_and_norm2(e, qmat)
+            en = np.sqrt(en2)
             en[en == 0] = 1.0
-            # dot / (na * nb): same float-op sequence as dedup.cosine()
-            # and the DuckDB oracle, so ppm floors agree cross-engine
-            cos = (e @ qmat) / (en[:, None] * qnorm[None, :])
+            cos = dot / (en[:, None] * qnorm[None, :])
             ppm = np.floor(cos * 1_000_000).astype(np.int64)
             rows = []
             for j, qid in enumerate(qids):

@@ -38,16 +38,15 @@ _KIND_CHECK = {
 
 def _overflow_map_col(schema: Schema, attrs_col: str | None) -> str | None:
     """Resolve the dynamic-key overflow column. The ParserSpec lets the
-    user name it anything (`attrs` config key), so hardcoding "attrs"
-    would silently compile validators on undeclared columns to
-    lit(False) under any other name. Resolution: the threaded configured
-    name if it is a map column; else the schema's single map-typed
-    column; else a column literally named "attrs" if map-typed."""
+    user name it anything (`attrs` config key) and CompiledPipeline
+    always threads that name here; unthreaded callers get only the
+    literal-"attrs" fallback. (An earlier "schema's single map column"
+    heuristic is gone: a pipeline whose only map column is a genuine
+    parsed field would have validators on undeclared columns silently
+    checking the wrong map — compiling to lit(False) is the honest
+    answer when the overflow column is unidentifiable.)"""
     if attrs_col:
         return attrs_col if isinstance(schema.get(attrs_col), T.MapType) else None
-    maps = [n for n, dt in schema.items() if isinstance(dt, T.MapType)]
-    if len(maps) == 1:
-        return maps[0]
     return "attrs" if isinstance(schema.get("attrs"), T.MapType) else None
 
 

@@ -36,19 +36,26 @@ def escape_html_text(col: Column) -> Column:
 
 
 def html_to_text(col: Column) -> Column:
-    """HTML string -> text: script/style subtrees dropped, tags
+    """HTML string -> text: script/style subtrees dropped, comments and
+    CDATA sections dropped (their bodies are NOT page text), tags
     stripped, basic entities decoded (amp last). Pure Column exprs.
 
-    ONE regex pass does both strips via alternation (subtree-with-close
-    first, bare tag as fallback — an unclosed script tag degrades to a
-    tag strip, consistent with the well-formed-pages scope); each regex
-    pass over a KB-scale string costs ~4s per 4M docs, so passes are the
-    budget here. Entity decoding (5 literal-replace string copies) only
-    runs on rows that contain '&' at all — most real page text has no
-    entities, and `when` makes the whole chain a no-op copy for them."""
+    ONE regex pass does all strips via alternation, ordered most- to
+    least-specific: script/style subtree-with-close, then `<!--...-->`
+    comment, then `<![CDATA[...]]>`, then bare tag as the fallback — an
+    UNCLOSED script/comment/CDATA opener degrades to a tag strip (its
+    body text leaks; a truncated page has no well-defined extraction,
+    documented scope). Each regex pass over a KB-scale string costs ~4s
+    per 4M docs, so passes are the budget here. Entity decoding (5
+    literal-replace string copies) only runs on rows that contain '&'
+    at all — most real page text has no entities, and `when` makes the
+    whole chain a no-op copy for them."""
     stripped = F.regexp_replace(
         col,
-        r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>|<[^>]+>",
+        r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>"
+        r"|<!--.*?-->"
+        r"|<!\[CDATA\[.*?\]\]>"
+        r"|<[^>]+>",
         "",
     )
     c = F.replace(stripped, F.lit("&lt;"), F.lit("<"))

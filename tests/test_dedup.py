@@ -329,3 +329,13 @@ def test_connected_components_paths_agree_on_mixed_graph(spark):
             for r in dedup.connected_components(
                 pairs, small_graph_edges=0).collect()}
     assert small == dist and len(small) == 41 + 6 + 5
+
+
+def test_minhash_config_must_come_in_pairs(spark):
+    """Banding math couples num_hashes and bands: passing exactly one
+    raises instead of silently discarding it (ADVICE r3)."""
+    docs = spark.createDataFrame([(1, "a b c d e f")], "id long, text string")
+    with pytest.raises(ValueError, match="together"):
+        dedup.minhash_near_duplicates(docs, "id", "text", num_hashes=32)
+    with pytest.raises(ValueError, match="together"):
+        dedup.minhash_near_duplicates(docs, "id", "text", bands=8)

@@ -257,9 +257,12 @@ def test_jsonify_attrs_overflow(spark):
 
 def test_jsonify_attrs_custom_column_name(spark):
     """The overflow map can be named anything (ParserSpec.attrs);
-    validators on undeclared columns must still resolve against it —
-    both via the threaded configured name and via schema-scan fallback
-    (a hardcoded 'attrs' would silently compile to lit(False))."""
+    validators on undeclared columns resolve against it via the threaded
+    configured name (CompiledPipeline always threads it). WITHOUT the
+    threaded name, only a literal 'attrs' map is trusted — a bare map
+    column under any other name could be a genuine parsed field, and
+    validating undeclared columns against the wrong map is worse than
+    the honest lit(False)."""
     from pyspark.sql import functions as F
 
     from logagent_spark.config import ValidatorSpec
@@ -273,14 +276,23 @@ def test_jsonify_attrs_custom_column_name(spark):
     assert {r["id"]: r["extra"] for r in res.frame.collect()} == {
         0: {"et": "error"}, 1: {},
     }
-    for kw in ({"attrs_col": "extra"}, {}):  # threaded, then auto-scan
-        gate = compile_gate(
-            [ValidatorSpec(mode="value", column="et", value="error")],
-            res.schema, **kw,
-        )
-        ok = {r["id"]: r["ok"] for r in res.frame.select(
-            "id", F.coalesce(gate, F.lit(False)).alias("ok")).collect()}
-        assert ok == {0: True, 1: False}, kw
+    gate = compile_gate(
+        [ValidatorSpec(mode="value", column="et", value="error")],
+        res.schema, attrs_col="extra",
+    )
+    ok = {r["id"]: r["ok"] for r in res.frame.select(
+        "id", F.coalesce(gate, F.lit(False)).alias("ok")).collect()}
+    assert ok == {0: True, 1: False}
+
+    # unthreaded + non-'attrs' name: conservative — validator on an
+    # undeclared column compiles to False for every row
+    gate_bare = compile_gate(
+        [ValidatorSpec(mode="value", column="et", value="error")],
+        res.schema,
+    )
+    ok_bare = {r["id"]: r["ok"] for r in res.frame.select(
+        "id", F.coalesce(gate_bare, F.lit(False)).alias("ok")).collect()}
+    assert ok_bare == {0: False, 1: False}
 
     # end-to-end: the PIPELINE's per-handler gate threads the name too
     spec2 = PipelineSpec.from_dict({

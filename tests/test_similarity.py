@@ -136,3 +136,79 @@ def test_knn_join_matches_single_query_topk(spark):
             corpus, "embedding", qvec, k=4).collect()]
         # same id set; ordering may differ only on exact ppm ties
         assert set(by_q[qid]) == set(want), qid
+
+
+def test_knn_join_max_queries_guard():
+    """Q rides the task closure; the explicit bound must raise before
+    a silent megabyte broadcast (large Q belongs to knn_join_ivf)."""
+    from logagent_spark.operators.similarity import knn_join
+
+    queries = [(i, [0.0, 1.0]) for i in range(5)]
+    with pytest.raises(ValueError, match="knn_join_ivf"):
+        knn_join(None, "embedding", queries, k=1, max_queries=4)
+
+
+def _collect_ranked(df):
+    by_q = {}
+    for r in sorted(df.collect(), key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    return by_q
+
+
+def test_knn_join_ivf_full_probe_equals_closure_join(spark):
+    """Full probe (nprobe = C) visits every bucket, so the DataFrame-
+    queries IVF join must reproduce the closure-based knn_join exactly
+    — ids, ppm scores AND ranks."""
+    rng = np.random.RandomState(7)
+    base = rng.randn(50, 16)
+    rows = [(i, base[i].tolist()) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from pyspark.sql import functions as F
+
+    corpus = df.filter(F.col("vec_id") >= 4)
+    queries = [(i, base[i].tolist()) for i in range(4)]
+    qdf = spark.createDataFrame(queries, "query_id long, qemb array<double>")
+    cents = sim.seeded_centroids(16, 6, seed=3)
+
+    want = {
+        (r["query_id"], r["vec_id"]): (r["cos_ppm"], r["rank"])
+        for r in sim.knn_join(corpus, "embedding", queries, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"]): (r["cos_ppm"], r["rank"])
+        for r in sim.knn_join_ivf(
+            corpus, "embedding", qdf, cents, k=5, nprobe=6
+        ).collect()
+    }
+    assert got == want
+
+
+def test_knn_join_ivf_partial_probe_planted_clusters(spark):
+    """Tight planted clusters around each centroid: with nprobe=1 every
+    query's true top-k lives in its own bucket, so partial probe is
+    exact on this fixture — and the corpus side must not shuffle (the
+    probed query side broadcasts)."""
+    rng = np.random.RandomState(11)
+    cents = sim.seeded_centroids(16, 4, seed=3)
+    rows, rid = [], 0
+    for c in range(4):
+        for _ in range(12):
+            v = cents[c] + 0.05 * rng.randn(16)
+            rows.append((rid, c, (v / np.linalg.norm(v)).tolist()))
+            rid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, true_c long, embedding array<double>")
+    corpus = df.select("vec_id", "embedding")
+    qdf = df.filter(df.vec_id % 12 == 0).select(
+        df.vec_id.alias("query_id"), df.embedding.alias("qemb"))
+
+    got = sim.knn_join_ivf(corpus, "embedding", qdf, cents, k=6, nprobe=1)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    by_q = _collect_ranked(got)
+    truth = {r[0]: r[1] for r in rows}
+    for qid, ids in by_q.items():
+        assert len(ids) == 6
+        assert ids[0] == qid  # the query vector itself ranks first
+        assert all(truth[i] == truth[qid] for i in ids)  # same cluster

@@ -54,6 +54,41 @@ def test_script_style_subtrees_dropped(spark):
     assert got == "keep this text"
 
 
+def test_comments_and_cdata_dropped(spark):
+    """Adversarial markup (VERDICT r3 #2): comment bodies and CDATA
+    sections are NOT page text — `<!-- commented text -->` must not
+    leak 'commented text' (the old bare-tag fallback stopped at the
+    first '>')."""
+    rows = [
+        ("<p>a<!-- commented text -->b</p>", "ab"),
+        ("<p>a<!-- multi > gt > inside -->b</p>", "ab"),
+        ("x<!--\nnewline\nbody\n-->y", "xy"),
+        ("a<![CDATA[ raw <b> & stuff ]]>b", "ab"),
+        ("<!-- lead --><p>mid</p><!-- trail -->", "mid"),
+        # comment containing a fake script opener must not arm the
+        # subtree strip beyond the comment
+        ("<!-- <script> -->keep<p>text</p>", "keeptext"),
+        # comment inside a script subtree: subtree strip wins
+        ("<script>a <!-- b --> c</script>keep", "keep"),
+    ]
+    df = spark.createDataFrame(rows, "h string, want string")
+    out = df.select("want", html_to_text(F.col("h")).alias("t"))
+    assert out.filter(F.col("t") != F.col("want")).count() == 0
+
+
+def test_unclosed_openers_degrade_to_tag_strip(spark):
+    """Truncated pages have no well-defined extraction; the documented
+    degradation is a bare tag strip of the opener (body text after an
+    unclosed <script>/<!-- leaks rather than eating the page)."""
+    rows = [
+        ("<p>a</p><script>tail() < never closed", "atail() < never closed"),
+        ("<p>a</p><!-- never closed", "a<!-- never closed"),
+    ]
+    df = spark.createDataFrame(rows, "h string, want string")
+    out = df.select("want", html_to_text(F.col("h")).alias("t"))
+    assert out.filter(F.col("t") != F.col("want")).count() == 0
+
+
 def test_extraction_is_jvm_only(spark, pages_sdf):
     plan = (
         extract_text_from_html(pages_sdf, out_col="_ext")
