@@ -279,8 +279,35 @@ def stage_breakdown(spark, pages_path: str) -> dict:
     return out
 
 
-def operator_queries(spark) -> dict:
-    """Operator suite timings over the driver testdata tables."""
+def _hist_operator_minima() -> dict:
+    """Fastest non-suspect historical timing per operator row (the
+    committed regression baseline for the >1.5x flag)."""
+    best: dict = {}
+    path = os.path.join(REPO, ".bench_history.jsonl")
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                h = json.loads(line)
+                for k, v in (h.get("operators") or {}).items():
+                    flags = (h.get("operators_noise") or {}).get(k, {})
+                    if not flags.get("noise_suspect"):
+                        best[k] = min(best.get(k, v), v)
+    return best
+
+
+def operator_queries(spark) -> "tuple[dict, dict]":
+    """Operator suite timings over the driver testdata tables.
+
+    Timing protocol (ADVICE r3 + VERDICT r3 #3): the query BUILD runs
+    INSIDE the clock — several queries do their dominant work eagerly at
+    build time (dedup_cluster_keep / curation_pipeline run the whole
+    minhash + connected-components chain with localCheckpoints;
+    rate_limit_admit's chunked path counts/persists per chunk), so
+    timing only the final count understated them. Each row is min of 2
+    FRESH builds (re-executing the same DataFrame would reuse shuffle
+    files and skip whole stages); a row whose spread/min exceeds 0.5,
+    or that regresses >1.5x vs the best non-suspect historical record,
+    is re-run once and flagged noise_suspect if it persists."""
     import logagent_spark.queries as q
 
     picks = [
@@ -297,6 +324,7 @@ def operator_queries(spark) -> dict:
         "sessionize", "asof_join", "asof_join_forward",
         "tpch_region_revenue",
         "dedup_cluster_keep", "curation_pipeline", "knn_join",
+        "knn_join_ivf",
         "html_extract_text", "agg_rollup_counts",
         "text_dup_windows", "text_excise_windows",
     ]
@@ -304,17 +332,59 @@ def operator_queries(spark) -> dict:
     # count() — count would time an empty plan; the noop sink
     # materializes every column with zero write cost instead
     value_materialize = {"text_dup_windows", "text_excise_windows"}
-    out = {}
-    fns = q.queries()
-    for name in picks:
-        df = fns[name](spark, SF_DIR)
+    fns = dict(q.queries())
+    # the r4 registry consolidation merged/renamed driver gates; bench
+    # keeps the r1-r3 row names (single-direction / single-strategy
+    # plans) for round-over-round comparability
+    fns.update({
+        "dedup_exact_stats": q.q_dedup_exact_stats,
+        "dedup_exact_keep": q.q_dedup_exact_keep,
+        "similarity_topk": q.q_similarity_topk,
+        "ann_ivf_topk": q.q_ann_ivf_topk,
+        "asof_join": q.q_asof_join,
+        "asof_join_forward": q.q_asof_join_forward,
+        "tpch_region_revenue": q.q_tpch_region_revenue,
+    })
+    hist = _hist_operator_minima()
+
+    def one(name: str) -> float:
         t = time.monotonic()
+        df = fns[name](spark, SF_DIR)  # build INSIDE the clock
         if name in value_materialize:
             df.write.format("noop").mode("overwrite").save()
         else:
             df.count()
-        out[name] = time.monotonic() - t
-    return out
+        return time.monotonic() - t
+
+    out: dict = {}
+    noise: dict = {}
+    for name in picks:
+        runs = [one(name), one(name)]
+
+        def _spread() -> "tuple[float, float]":
+            # agreement of the two FASTEST runs: the reported value is
+            # the min, so one slow outlier (cold caches, a background
+            # burst) does not impeach it as long as two runs agree
+            s = sorted(runs)
+            return (s[1] - s[0], (s[1] - s[0]) / s[0] if s[0] > 0 else 0.0)
+
+        def _suspect() -> bool:
+            d_abs, d_frac = _spread()
+            return d_frac > 0.5 and d_abs > 0.5
+
+        def _regressed() -> bool:
+            return name in hist and min(runs) > 1.5 * hist[name]
+
+        if _suspect() or _regressed():
+            runs.append(one(name))  # one retry for suspect rows
+        out[name] = min(runs)
+        noise[name] = {
+            "runs": [round(r, 3) for r in runs],
+            "spread_frac": round(_spread()[1], 3),
+            "noise_suspect": _suspect(),
+            "regressed_vs_best": _regressed(),
+        }
+    return out, noise
 
 
 def lsh_recall(spark, cap: int = 1000) -> dict:
@@ -388,12 +458,20 @@ def lsh_recall(spark, cap: int = 1000) -> dict:
 def lsh_scale_100k(spark, pages_path: str) -> dict:
     """Scale demonstration: banded hyperplane LSH near-dup over ~100k
     vectors derived scan-side from the pages corpus (md5-byte embeddings,
-    pure Column exprs — no UDF anywhere in the job). 48 planes in 4
-    bands = 12-bit bucket keys, so candidates ~ 4 * n^2 / 4096 — the
-    banding knob that keeps the operator sub-quadratic as n grows."""
+    pure Column exprs — no UDF anywhere in the job).
+
+    The banding config comes from `suggest_lsh_config(0.9, n=...)` — the
+    production sizing helper validated BY this run (VERDICT r3 #8), not a
+    hand-picked constant — and recall is MEASURED on ~60 planted twins
+    (scan-side perturbed copies at cos >= 0.9; the truth set is their
+    exact pair cosines, one skinny row per planted pair)."""
     from pyspark.sql import functions as F
 
-    from logagent_spark.operators.dedup import embedding_candidate_pairs
+    from logagent_spark.operators.dedup import (
+        cosine,
+        embedding_candidate_pairs,
+        suggest_lsh_config,
+    )
 
     dim = 16
     df = (
@@ -409,21 +487,60 @@ def lsh_scale_100k(spark, pages_path: str) -> dict:
             ]).alias("embedding"),
         )
     )
-    n = df.count()
+    # plant ~60 near-dup twins scan-side: bump dimension 0 by a constant
+    # (deterministic, Column-only); the twin of url U is id "U#dup", so
+    # truth pairs are (U, U#dup) — a < b already under string order
+    twin_base = df.filter(F.crc32(F.col("vec_id")) % 1600 == 0)
+    pert = F.transform(
+        "embedding",
+        lambda x, i: x + F.when(i == F.lit(0), F.lit(40.0)).otherwise(0.0),
+    )
+    twins = twin_base.select(
+        F.concat(F.col("vec_id"), F.lit("#dup")).alias("vec_id"),
+        pert.alias("embedding"),
+    )
+    truth = {
+        r["vec_id"]
+        for r in twin_base.select(
+            "vec_id",
+            F.floor(cosine(F.col("embedding"), pert) * 1e6).alias("p"),
+        ).filter(F.col("p") >= 900000).collect()
+    }
+    corpus = df.unionByName(twins)
+
+    n = corpus.count()
+    # explicit candidate budget (0.4% of the 5e9 pairs ~ 20M rows):
+    # the knob a production run sets from its shuffle budget
+    cfg = suggest_lsh_config(0.9, n=n, max_cand_frac=0.004)
     t0 = time.monotonic()
     cand = embedding_candidate_pairs(
-        df, "vec_id", "embedding", dim=dim, n_planes=48, seed=42,
-        n_chunks=4,
+        corpus, "vec_id", "embedding", dim=dim,
+        n_planes=cfg["n_planes"], seed=42, n_chunks=cfg["n_chunks"],
     ).persist()
     n_cand = cand.count()
     n_dups = cand.filter(F.col("cos") >= 0.9).count()
+    found = {
+        r["a"]
+        for r in cand.filter(
+            (F.col("b") == F.concat(F.col("a"), F.lit("#dup")))
+            & (F.floor(F.col("cos") * 1e6) >= 900000)
+        ).collect()
+    }
     sec = time.monotonic() - t0
     cand.unpersist()
     return {
         "n_vectors": n,
+        "config": {
+            "n_planes": cfg["n_planes"], "n_chunks": cfg["n_chunks"],
+            "predicted_recall": round(cfg["expected_recall"], 3),
+            "predicted_cand_frac": round(cfg["expected_cand_frac"], 6),
+        },
         "candidates": n_cand,
         "cand_frac": round(n_cand / (n * (n - 1) / 2), 6),
         "pairs_cos_0.9": n_dups,
+        "planted_pairs": len(truth),
+        "planted_recall": round(len(found & truth) / len(truth), 4)
+        if truth else 1.0,
         "sec": round(sec, 2),
     }
 
@@ -529,9 +646,8 @@ def main() -> None:
     queries.update(
         {k: round(v, 3) for k, v in stage_breakdown(spark, pages).items()}
     )
-    queries.update(
-        {k: round(v, 3) for k, v in operator_queries(spark).items()}
-    )
+    op_times, op_noise = operator_queries(spark)
+    queries.update({k: round(v, 3) for k, v in op_times.items()})
     recall = lsh_recall(spark)
     scale100k = lsh_scale_100k(spark, pages)
     spark.stop()
@@ -551,6 +667,12 @@ def main() -> None:
                 "efficiency": round(p["efficiency"], 3),
                 "suspect": p["suspect"],
             }) + "\n")
+        # operator rows feed the next invocation's regression baseline
+        f.write(json.dumps({
+            "ts": time.time(), "sf": _sf_value(), "cpus": CPUS,
+            "operators": {k: round(v, 3) for k, v in op_times.items()},
+            "operators_noise": op_noise,
+        }) + "\n")
     best_hist = {"hi_sec": t_hi["pipeline_sec"],
                  "lo_sec": t_lo["pipeline_sec"],
                  "efficiency": efficiency}
@@ -571,6 +693,10 @@ def main() -> None:
         "value": round(t_hi["docs_per_sec"], 1),
         "unit": "docs/sec",
         "queries": queries,
+        "query_noise": {
+            k: v for k, v in op_noise.items()
+            if v["noise_suspect"] or v["regressed_vs_best"]
+        },
         "lsh": recall,
         "lsh_scale_100k": scale100k,
         "grok_udf_tax": round(
@@ -644,10 +770,26 @@ def main() -> None:
             f"`.bench_history.jsonl`): efficiency {best_eff:.3f} "
             f"({best_lo:.2f}s/{best_hi:.2f}s, speedup "
             f"{best_speedup:.2f}×).\n\n"
-            "Per-stage (local[32], count-only plans): "
+            "Per-stage (local[32]; operator rows time BUILD+EXECUTE of "
+            "a fresh plan, min-of-2, spread-flagged — ADVICE r3): "
             + ", ".join(f"{k}={v}s" for k, v in queries.items())
             + "\n\n"
-            f"Python-UDF tax (tracked per round): parse_grok_udf / "
+            + (
+                "Noise/regression-suspect operator rows (spread/min > "
+                "0.5 after one retry, or >1.5x the best non-suspect "
+                "historical record): "
+                + ", ".join(
+                    f"{k} runs={v['runs']}"
+                    for k, v in op_noise.items()
+                    if v["noise_suspect"] or v["regressed_vs_best"]
+                )
+                + ".\n\n"
+                if any(v["noise_suspect"] or v["regressed_vs_best"]
+                       for v in op_noise.values())
+                else "All operator rows clean (spread <= 0.5, no >1.5x "
+                     "regression vs history).\n\n"
+            )
+            + f"Python-UDF tax (tracked per round): parse_grok_udf / "
             f"parse_native = {queries['parse_grok_udf']}s / "
             f"{queries['parse_native']}s = "
             f"{queries['parse_grok_udf'] / queries['parse_native']:.2f}x.\n\n"
@@ -681,10 +823,16 @@ def main() -> None:
             ". The exact baseline is the recall gate only - it is not "
             "among the benched plans.\n\n"
             f"LSH at scale: {scale100k['n_vectors']:,} scan-side md5 "
-            f"embeddings, 48 planes / 4 bands (12-bit keys) -> "
+            f"embeddings + {scale100k['planted_pairs']} planted twins, "
+            f"config from suggest_lsh_config(0.9, n) = "
+            f"p{scale100k['config']['n_planes']}"
+            f"c{scale100k['config']['n_chunks']} (predicted recall "
+            f"{scale100k['config']['predicted_recall']}, predicted "
+            f"cand_frac {scale100k['config']['predicted_cand_frac']}) -> "
             f"{scale100k['candidates']:,} candidates "
-            f"(cand_frac {scale100k['cand_frac']}), "
-            f"{scale100k['pairs_cos_0.9']} pairs at cos>=0.9, "
+            f"(measured cand_frac {scale100k['cand_frac']}), "
+            f"{scale100k['pairs_cos_0.9']} pairs at cos>=0.9, measured "
+            f"planted recall {scale100k['planted_recall']}, "
             f"{scale100k['sec']}s end-to-end - the banding exponent is "
             "what keeps candidates sub-quadratic as n grows.\n"
         )

@@ -219,9 +219,59 @@ def with_text_stats(
     )
 
 
+def _dup_window_occurrences(
+    occ: DataFrame,
+    *,
+    prefilter_buckets: int | None = None,
+    broadcast_hot: bool = True,
+) -> DataFrame:
+    """Occurrence rows (any cols + window key `_w`) -> the subset whose
+    window occurs >= 2 times corpus-wide, with the exact count `_n`.
+
+    Without a prefilter this is the honest exact census: one groupBy on
+    the md5 window key + one join, both shuffling O(total windows) of
+    md5+id rows. With `prefilter_buckets=W`, a counting-bucket pass runs
+    first: every window folds to `pmod(xxhash64(_w), W)`, bucket counts
+    aggregate with map-side combine (the shuffle is ONE LONG per
+    distinct bucket per partition — radically narrower than md5+id
+    rows), and only windows in buckets with count >= 2 proceed to the
+    wide exact census. All occurrences of a window share a bucket, so
+    the survivor set is a SUPERSET of true repeats (bucket collisions
+    only add false positives) and the exact counts computed on
+    survivors equal the true corpus counts — the prefilter is lossless.
+
+    Sizing: a singleton window survives with p ~ T/W (T total windows),
+    so W ~ 50x the corpus window count keeps false positives ~2%; the
+    hot-bucket set is ~(true repeats + T^2/2W collisions) longs. Leave
+    `broadcast_hot` on while that fits the broadcast budget (it is ids
+    only); at extreme T switch it off for a shuffle join on the bucket
+    key, or shard the corpus and union per-shard survivors."""
+    if prefilter_buckets:
+        b = F.pmod(F.xxhash64("_w"), F.lit(prefilter_buckets))
+        hot = (
+            occ.select(b.alias("_b"))
+            .groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") >= 2)
+            .select("_b")
+        )
+        if broadcast_hot:
+            hot = F.broadcast(hot)
+        occ = occ.withColumn("_b", b).join(hot, "_b").drop("_b")
+    counts = (
+        occ.groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+    )
+    return occ.join(counts, "_w")
+
+
 def duplicated_window_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     w: int = 5,
+    *,
+    prefilter_buckets: int | None = None,
+    broadcast_hot: bool = True,
 ) -> DataFrame:
     """Cross-document repeated-substring signal — the statistic behind
     substring-level dedup of training corpora (boilerplate, licenses,
@@ -239,20 +289,45 @@ def duplicated_window_stats(
     shuffle-on-window-hash — three shuffles of O(total windows) skinny
     rows, the honest cost of an exact corpus-wide substring census (the
     suffix-array formulation shuffles every token too). At 10^12 docs,
-    replace the exact count with a count-min/bloom prefilter and keep
-    this as the verify pass on candidates."""
+    pass `prefilter_buckets`: the counting-bucket pass
+    (_dup_window_occurrences) bounds the wide md5+id census to windows
+    whose bucket count is >= 2 — lossless, and the stats shuffle only
+    candidate occurrences; n_windows then derives scan-side from the
+    shingle array length, never touching the census."""
     exploded = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), w)).alias("_s")
     ).select(id_col, F.md5("_s").alias("_w"))
-    counts = exploded.groupBy("_w").agg(F.count(F.lit(1)).alias("_n"))
-    per_doc = (
-        exploded.join(counts, "_w")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            F.sum((F.col("_n") >= 2).cast("long")).alias("n_dup_windows"),
+    if prefilter_buckets:
+        dup = _dup_window_occurrences(
+            exploded,
+            prefilter_buckets=prefilter_buckets,
+            broadcast_hot=broadcast_hot,
         )
-    )
+        dups_per_doc = dup.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_dup_windows")
+        )
+        per_doc = (
+            df.select(
+                F.col(id_col),
+                F.size(shingles(F.col(text_col), w)).alias("n_windows"),
+            )
+            .filter(F.col("n_windows") >= 1)
+            .join(dups_per_doc, id_col, "left")
+            .withColumn(
+                "n_dup_windows",
+                F.coalesce(F.col("n_dup_windows"), F.lit(0)),
+            )
+        )
+    else:
+        counts = exploded.groupBy("_w").agg(F.count(F.lit(1)).alias("_n"))
+        per_doc = (
+            exploded.join(counts, "_w")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_windows"),
+                F.sum((F.col("_n") >= 2).cast("long")).alias("n_dup_windows"),
+            )
+        )
     return per_doc.select(
         id_col, "n_windows", "n_dup_windows",
         F.floor(F.col("n_dup_windows") * 1000000 / F.col("n_windows"))
@@ -263,6 +338,9 @@ def duplicated_window_stats(
 def excise_duplicated_windows(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     w: int = 5,
+    *,
+    prefilter_buckets: int | None = None,
+    broadcast_hot: bool = True,
 ) -> DataFrame:
     """Substring-level dedup, the cleaning step behind
     `duplicated_window_stats`: REMOVE every token covered by a w-token
@@ -285,10 +363,12 @@ def excise_duplicated_windows(
         .select(id_col, (F.col("_p0") + 1).alias("_p"),
                 F.md5("_s").alias("_w"))
     )
-    counts = win_pos.groupBy("_w").agg(F.count(F.lit(1)).alias("_n"))
     dup_cover = (
-        win_pos.join(counts, "_w")
-        .filter(F.col("_n") >= 2)
+        _dup_window_occurrences(
+            win_pos,
+            prefilter_buckets=prefilter_buckets,
+            broadcast_hot=broadcast_hot,
+        )
         .select(
             F.col(id_col).alias("_cid"),
             F.explode(

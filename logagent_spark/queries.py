@@ -1517,9 +1517,15 @@ def q_text_dup_windows(spark, sf_dir):
     substring-level corpus dedup): per document, how many of its 5-token
     windows occur >= 2 times corpus-wide (multiplicity counted). The
     oracle unnests the same shingle lists (NO list_distinct — a
-    within-doc repeat is a duplicate) and replays the census in SQL."""
+    within-doc repeat is a duplicate) and replays the census in SQL.
+    Runs through the counting-bucket PREFILTER (the 10^12-doc scale
+    path): the wide md5 census touches only windows whose skinny bucket
+    count is >= 2 — lossless, so the exact-census oracle still gates
+    it."""
     docs = _t(spark, sf_dir, "documents")
-    return ts.duplicated_window_stats(docs, "doc_id", "text", w=5)
+    return ts.duplicated_window_stats(
+        docs, "doc_id", "text", w=5, prefilter_buckets=1 << 20
+    )
 
 
 SQL_TEXT_DUP_WINDOWS = r"""
@@ -1906,12 +1912,14 @@ WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
 # checkpointed resumable run (the reference's offset file done right —
 # plans/checkpoint.py)
 
-def q_checkpoint_resume(spark, sf_dir):
+def q_checkpoint_resume(spark, sf_dir, *, simulate_kill=True):
     """Kill/resume equivalence as a driver-checkable query: split events
     into 4 input chunks, run 2 chunks, 'die', resume to completion with a
     FRESH runner, and emit the committed-manifest totals. The oracle is
     the single-shot aggregation — resume must lose and duplicate
-    nothing."""
+    nothing. `simulate_kill=False` skips the kill/rerun fixture phase
+    (setup + a partial run, side effects a timing harness must not
+    attribute to the operator) and times ONE clean checkpointed pass."""
     import os
     import shutil
 
@@ -1935,12 +1943,15 @@ def q_checkpoint_resume(spark, sf_dir):
     })
     pipe = CompiledPipeline(spec)
     kw = dict(n_chunks=4, keep=["event_id"])
-    CheckpointedRunner(pipe, out_dir, **kw).run(
-        spark, in_dir, max_chunks=2  # simulated mid-run kill
-    )
+    if simulate_kill:
+        CheckpointedRunner(pipe, out_dir, **kw).run(
+            spark, in_dir, max_chunks=2  # simulated mid-run kill
+        )
     runner = CheckpointedRunner(pipe, out_dir, **kw)  # fresh process
     reports = runner.run(spark, in_dir)
-    assert sum(r.resumed for r in reports) == 2, "resume must skip 2 chunks"
+    if simulate_kill:
+        assert sum(r.resumed for r in reports) == 2, \
+            "resume must skip 2 chunks"
     tot = runner.totals()
     rows = [("rows_in", tot["rows_in"])]
     rows += [(f"sink:{k}", v) for k, v in tot["sink_counts"].items()]
@@ -2068,62 +2079,242 @@ WHERE ('0x' || substr(md5(event_id::VARCHAR || ':42'), 1, 8))::BIGINT
 
 
 # ---------------------------------------------------------------------------
+# merged + streaming-parity gates (VERDICT r3 #1/#5/#6)
+#
+# The driver records the FIRST 50 queries() entries, so the registry is a
+# budget: near-duplicate gates merge into one driver row each (both halves
+# still run and both halves' values are hash-checked — a union/join gate is
+# strictly stronger than either half alone), and never-driver-verified
+# entries are registered first.
+
+def q_streaming_dedup_parity(spark, sf_dir):
+    """Driver-visible streaming parity: the streaming exact-dedup twin
+    (streaming/dedup.py — applyInPandasWithState keyed by content hash,
+    first-arrival-wins) runs INSIDE this batch query under
+    trigger(availableNow) into a memory sink; the returned frame is the
+    admitted set. The documents table is one parquet file -> one
+    micro-batch -> the in-batch winner is the min doc_id, so the oracle
+    is the BATCH twin's SQL (min-doc_id winners per normalized content
+    hash). Resume-contract anchor: the kafka collector's offset replay
+    (collector.go:230-260)."""
+    import os
+    import tempfile
+
+    from logagent_spark.streaming.dedup import streaming_dedup_exact
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    # file streams want a directory: stream the sf dir, glob one table
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = streaming_dedup_exact(stream, "doc_id", "text")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    name = f"stream_dedup_parity_{tag}"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    ckpt = tempfile.mkdtemp(prefix="la_stream_parity_")
+    sq = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    sq.awaitTermination()
+    return (
+        spark.table(name)
+        .filter(~F.col("is_dup"))
+        .select("doc_id", "content_hash")
+    )
+
+
+SQL_STREAMING_DEDUP_PARITY = r"""
+SELECT min(doc_id) AS doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+         AS content_hash
+FROM documents GROUP BY 2
+"""
+
+
+def q_knn_join_ivf(spark, sf_dir):
+    """IVF-bucketed k-NN join (similarity.knn_join_ivf — the large-Q
+    regime where queries are a DataFrame, nothing collected) in its
+    EXACT configuration: nprobe = n_centroids is full probe, so bucket
+    routing is a pure partition of the corpus and the result must equal
+    brute force — the same cross-join + rank oracle as knn_join."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qdf = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 4)
+    cents = sim.seeded_centroids(64, 8, seed=1)
+    out = sim.knn_join_ivf(corpus, "embedding", qdf, cents, k=5, nprobe=8)
+    return out.select("query_id", "vec_id", "cos_ppm", "rank")
+
+
+def q_collector_file_dir(spark, sf_dir):
+    """Both file-shaped collectors in ONE driver gate: the line-oriented
+    `file` collector (collector.go:169-206) round-trips events through a
+    text landing dir; the whole-file `dir` collector
+    (collector.go:275-324) round-trips per-lang document bodies through
+    binaryFile with the glob filter. Both conform to (source, key,
+    payload, device_id); the oracle is the union of the two
+    identities — the transports must lose, duplicate, and mangle
+    nothing."""
+    a = q_file_collector_lines(spark, sf_dir).select(
+        F.lit("file").alias("source"),
+        F.col("event_id").cast("string").alias("key"),
+        F.col("event_type").alias("payload"),
+        "device_id",
+    )
+    b = q_dir_collector_whole_files(spark, sf_dir).select(
+        F.lit("dir").alias("source"),
+        F.col("lang").alias("key"),
+        F.col("message").alias("payload"),
+        "device_id",
+    )
+    return a.unionByName(b)
+
+
+SQL_COLLECTOR_FILE_DIR = """
+SELECT 'file' AS source, event_id::VARCHAR AS key, event_type AS payload,
+       'logagent-spark' AS device_id
+FROM events
+UNION ALL
+SELECT 'dir' AS source, lang AS key,
+       string_agg(text, chr(10) ORDER BY doc_id) AS payload,
+       'logagent-spark' AS device_id
+FROM documents GROUP BY lang
+"""
+
+
+def q_parse_grok_dict_both(spark, sf_dir):
+    """Both grok physical strategies — the native when-chain and the
+    Arrow pandas-UDF — answer the SAME oracle in one gate; a divergence
+    between them fails the value hash."""
+    a = q_parse_grok_dict(spark, sf_dir).withColumn(
+        "strategy", F.lit("native"))
+    b = q_parse_grok_dict_udf(spark, sf_dir).withColumn(
+        "strategy", F.lit("udf"))
+    return a.unionByName(b)
+
+
+SQL_PARSE_GROK_BOTH = f"""
+WITH base AS ({SQL_PARSE_GROK_DICT})
+SELECT *, 'native' AS strategy FROM base
+UNION ALL
+SELECT *, 'udf' AS strategy FROM base
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact-dedup winners AND group sizes in one gate: the min-doc_id
+    keep set (min-by + left-semi join, one shuffle on the uniform hash)
+    joined to per-content copy counts — covers both the old `stats`
+    gate (sum(n_copies) = corpus rows, row count = distinct contents)
+    and the old `keep` gate (the winner set)."""
+    docs = _t(spark, sf_dir, "documents")
+    keep = dd.dedup_exact(docs, "doc_id", "text").select("doc_id", "lang")
+    sizes = (
+        docs.groupBy(dd.content_hash(F.col("text")).alias("_h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("doc_id", "n_copies")
+    )
+    return keep.join(sizes, "doc_id")
+
+
+SQL_DEDUP_EXACT_MERGED = r"""
+SELECT d.doc_id, d.lang, g.n_copies
+FROM documents d JOIN (
+  SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
+  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+) g USING (doc_id)
+"""
+
+
+def q_multimodal_pipeline(spark, sf_dir):
+    """Binary-column metadata (sniff/size/digest, pure Column exprs)
+    JOINED to the frame-sampling plan — one driver row for the whole
+    multimodal plumbing path."""
+    meta = q_multimodal_meta(spark, sf_dir)
+    frames = q_multimodal_frames(spark, sf_dir)
+    return frames.join(meta, "doc_id")
+
+
+SQL_MULTIMODAL_PIPELINE = f"""
+WITH meta AS ({SQL_MULTIMODAL_META}),
+frames AS ({SQL_MULTIMODAL_FRAMES})
+SELECT frames.doc_id, frame_idx, byte_offset,
+       media_bytes, media_format, media_digest
+FROM frames JOIN meta USING (doc_id)
+"""
+
+
+def q_asof_join_both(spark, sf_dir):
+    """Backward AND forward as-of join against DuckDB's native ASOF
+    JOIN (two independent implementations per direction), one gate."""
+    a = q_asof_join(spark, sf_dir).withColumn(
+        "direction", F.lit("backward"))
+    b = q_asof_join_forward(spark, sf_dir).withColumn(
+        "direction", F.lit("forward"))
+    return a.unionByName(b)
+
+
+SQL_ASOF_JOIN_BOTH = f"""
+SELECT *, 'backward' AS direction FROM ({SQL_ASOF_JOIN})
+UNION ALL
+SELECT *, 'forward' AS direction FROM ({SQL_ASOF_JOIN_FORWARD})
+"""
+
+
+def q_ann_ivf(spark, sf_dir):
+    """Both IVF paths in one gate: seeded centroids with partial probe
+    (the SQL oracle replays the argmax bucketing + probe pruning
+    literally) UNION the Lloyd-refined index under full probe (whose
+    oracle is exact brute force — correct whatever the data-dependent
+    centroids are)."""
+    a = q_ann_ivf_topk(spark, sf_dir).withColumn(
+        "method", F.lit("seeded_probe"))
+    b = q_ann_ivf_kmeans_fullprobe(spark, sf_dir).withColumn(
+        "method", F.lit("kmeans_fullprobe"))
+    return a.unionByName(b)
+
+
+SQL_ANN_IVF_BOTH = f"""
+SELECT *, 'seeded_probe' AS method FROM ({SQL_ANN_IVF_TOPK})
+UNION ALL
+SELECT *, 'kmeans_fullprobe' AS method FROM ({SQL_SIMILARITY_TOPK})
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries — the driver's CORRECTNESS window records the
+    first 50, so every entry gets a driver row. Ordering: newest /
+    least-driver-proven first, stable veterans after. Near-duplicate
+    gates are merged (grok strategies, dedup stats+keep, multimodal
+    meta+frames, asof directions, both IVF paths, both file
+    collectors); template render is covered by route_rendered,
+    brute-force top-k by knn_join/knn_join_ivf, plain region revenue by
+    the bucketed variant, and per-doc simhash values by pytest
+    (test_dedup) under the pairs gate."""
     return {
-        "parse_regex": q_parse_regex,
-        "parse_csv": q_parse_csv,
-        "parse_json": q_parse_json,
-        "parse_grok_dict": q_parse_grok_dict,
-        "parse_grok_dict_udf": q_parse_grok_dict_udf,
-        "validate_filter": q_validate_filter,
-        "rewrite_enrich": q_rewrite_enrich,
-        "rewrite_lookup_join": q_rewrite_lookup_join,
-        "route_fanout_counts": q_route_fanout_counts,
-        "route_rendered": q_route_rendered,
-        "route_dead_letter": q_route_dead_letter,
-        "agg_sink_counts": q_agg_sink_counts,
-        "agg_distinct_salted": q_agg_distinct_salted,
-        "template_render": q_template_render,
-        "syslog_decode": q_syslog_decode,
-        "dedup_exact_stats": q_dedup_exact_stats,
-        "dedup_exact_keep": q_dedup_exact_keep,
-        "text_stats": q_text_stats,
-        "fingerprint_minshingle": q_fingerprint_minshingle,
-        "quality_filter": q_quality_filter,
-        "similarity_topk": q_similarity_topk,
-        "embedding_near_dup_exact": q_embedding_near_dup_exact,
-        "dedup_minhash_pairs": q_dedup_minhash_pairs,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivf_kmeans_fullprobe": q_ann_ivf_kmeans_fullprobe,
-        "embedding_near_dup": q_embedding_near_dup,
-        "rate_limit_admit": q_rate_limit_admit,
-        "parse_json_dynamic": q_parse_json_dynamic,
-        "validate_modes": q_validate_modes,
-        "rewrite_jsonify_splice": q_rewrite_jsonify_splice,
-        "rewrite_unjsonify": q_rewrite_unjsonify,
-        "rewrite_command": q_rewrite_command,
-        "rewrite_scrub": q_rewrite_scrub,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_frames": q_multimodal_frames,
-        "embed_text_fake": q_embed_text_fake,
-        "curation_pipeline": q_curation_pipeline,
-        "checkpoint_resume": q_checkpoint_resume,
-        "asof_join": q_asof_join,
-        "asof_join_forward": q_asof_join_forward,
-        "tpch_pricing_summary": q_tpch_pricing_summary,
-        "tpch_top_orders": q_tpch_top_orders,
-        "tpch_region_revenue": q_tpch_region_revenue,
-        "tpch_promo_share": q_tpch_promo_share,
-        "agg_percentiles": q_agg_percentiles,
-        "sessionize": q_sessionize,
-        "text_repetition": q_text_repetition,
-        "dedup_cluster_keep": q_dedup_cluster_keep,
-        "file_collector_lines": q_file_collector_lines,
-        "dir_collector_whole_files": q_dir_collector_whole_files,
+        # --- new / never driver-verified this code (r4) ---
+        "streaming_dedup_parity": q_streaming_dedup_parity,
+        "knn_join_ivf": q_knn_join_ivf,
+        "collector_file_dir": q_collector_file_dir,
         "degradation_sample": q_degradation_sample,
         "tpch_bucketed_revenue": q_tpch_bucketed_revenue,
         "html_extract_text": q_html_extract_text,
@@ -2131,65 +2322,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "text_dup_windows": q_text_dup_windows,
         "text_excise_windows": q_text_excise_windows,
+        # --- merged gates (both halves hash-checked in one row) ---
+        "parse_grok_dict": q_parse_grok_dict_both,
+        "dedup_exact": q_dedup_exact,
+        "multimodal_pipeline": q_multimodal_pipeline,
+        "asof_join": q_asof_join_both,
+        "ann_ivf": q_ann_ivf,
+        # --- stable, driver-verified r1-r3 ---
+        "parse_regex": q_parse_regex,
+        "parse_csv": q_parse_csv,
+        "parse_json": q_parse_json,
+        "parse_json_dynamic": q_parse_json_dynamic,
+        "validate_filter": q_validate_filter,
+        "validate_modes": q_validate_modes,
+        "rewrite_enrich": q_rewrite_enrich,
+        "rewrite_lookup_join": q_rewrite_lookup_join,
+        "rewrite_jsonify_splice": q_rewrite_jsonify_splice,
+        "rewrite_unjsonify": q_rewrite_unjsonify,
+        "rewrite_command": q_rewrite_command,
+        "rewrite_scrub": q_rewrite_scrub,
+        "route_fanout_counts": q_route_fanout_counts,
+        "route_rendered": q_route_rendered,
+        "route_dead_letter": q_route_dead_letter,
+        "agg_sink_counts": q_agg_sink_counts,
+        "agg_distinct_salted": q_agg_distinct_salted,
+        "agg_percentiles": q_agg_percentiles,
+        "syslog_decode": q_syslog_decode,
+        "text_stats": q_text_stats,
+        "text_repetition": q_text_repetition,
+        "fingerprint_minshingle": q_fingerprint_minshingle,
+        "quality_filter": q_quality_filter,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_exact": q_embedding_near_dup_exact,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "rate_limit_admit": q_rate_limit_admit,
+        "embed_text_fake": q_embed_text_fake,
+        "curation_pipeline": q_curation_pipeline,
+        "checkpoint_resume": q_checkpoint_resume,
+        "sessionize": q_sessionize,
+        "dedup_cluster_keep": q_dedup_cluster_keep,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "tpch_top_orders": q_tpch_top_orders,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "parse_regex": SQL_PARSE_REGEX,
-        "parse_csv": SQL_PARSE_CSV,
-        "parse_json": SQL_PARSE_JSON,
-        "parse_grok_dict": SQL_PARSE_GROK_DICT,
-        "parse_grok_dict_udf": SQL_PARSE_GROK_DICT,
-        "validate_filter": SQL_VALIDATE_FILTER,
-        "rewrite_enrich": SQL_REWRITE_ENRICH,
-        "rewrite_lookup_join": SQL_REWRITE_LOOKUP,
-        "route_fanout_counts": SQL_ROUTE_FANOUT,
-        "route_rendered": SQL_ROUTE_RENDERED,
-        "route_dead_letter": SQL_ROUTE_DEAD_LETTER,
-        "agg_sink_counts": SQL_AGG_SINK_COUNTS,
-        "agg_distinct_salted": SQL_AGG_DISTINCT_SALTED,
-        "template_render": SQL_TEMPLATE_RENDER,
-        "syslog_decode": SQL_SYSLOG_DECODE,
-        "dedup_exact_stats": SQL_DEDUP_EXACT,
-        "dedup_exact_keep": SQL_DEDUP_EXACT_KEEP,
-        "text_stats": SQL_TEXT_STATS,
-        "fingerprint_minshingle": SQL_FINGERPRINT_MINSHINGLE,
-        "quality_filter": SQL_QUALITY_FILTER,
-        "similarity_topk": SQL_SIMILARITY_TOPK,
-        "embedding_near_dup_exact": SQL_EMBEDDING_NEAR_DUP_EXACT,
-        # the LSH/hash ops are fully SQL-reproducible: md5-based token
-        # hashes (md5_number_upper), literal hyperplanes/centroids, and
-        # a recursive CTE for the leaky-bucket recurrence
-        "dedup_minhash_pairs": SQL_DEDUP_MINHASH_PAIRS,
-        "dedup_simhash": SQL_DEDUP_SIMHASH,
-        "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
-        "ann_ivf_topk": SQL_ANN_IVF_TOPK,
-        "ann_ivf_kmeans_fullprobe": SQL_SIMILARITY_TOPK,
-        "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
-        "rate_limit_admit": SQL_RATE_LIMIT_ADMIT,
-        "parse_json_dynamic": SQL_PARSE_JSON_DYNAMIC,
-        "validate_modes": SQL_VALIDATE_MODES,
-        "rewrite_jsonify_splice": SQL_REWRITE_JSONIFY_SPLICE,
-        "rewrite_unjsonify": SQL_REWRITE_UNJSONIFY,
-        "rewrite_command": SQL_REWRITE_COMMAND,
-        "rewrite_scrub": SQL_REWRITE_SCRUB,
-        "multimodal_meta": SQL_MULTIMODAL_META,
-        "multimodal_frames": SQL_MULTIMODAL_FRAMES,
-        "embed_text_fake": SQL_EMBED_TEXT_FAKE,
-        "curation_pipeline": SQL_CURATION_PIPELINE,
-        "checkpoint_resume": SQL_CHECKPOINT_RESUME,
-        "asof_join": SQL_ASOF_JOIN,
-        "tpch_pricing_summary": SQL_TPCH_PRICING,
-        "tpch_top_orders": SQL_TPCH_TOP_ORDERS,
-        "tpch_region_revenue": SQL_TPCH_REGION_REVENUE,
-        "tpch_promo_share": SQL_TPCH_PROMO_SHARE,
-        "agg_percentiles": SQL_AGG_PERCENTILES,
-        "sessionize": SQL_SESSIONIZE,
-        "text_repetition": SQL_TEXT_REPETITION,
-        "dedup_cluster_keep": SQL_DEDUP_CLUSTER_KEEP,
-        "file_collector_lines": SQL_FILE_COLLECTOR_LINES,
-        "dir_collector_whole_files": SQL_DIR_COLLECTOR_WHOLE_FILES,
+        # --- new / never driver-verified this code (r4) ---
+        "streaming_dedup_parity": SQL_STREAMING_DEDUP_PARITY,
+        "knn_join_ivf": SQL_KNN_JOIN,
+        "collector_file_dir": SQL_COLLECTOR_FILE_DIR,
         "degradation_sample": SQL_DEGRADATION_SAMPLE,
         "tpch_bucketed_revenue": SQL_TPCH_BUCKETED_REVENUE,
         "html_extract_text": SQL_HTML_EXTRACT_TEXT,
@@ -2197,5 +2380,49 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": SQL_KNN_JOIN,
         "text_dup_windows": SQL_TEXT_DUP_WINDOWS,
         "text_excise_windows": SQL_TEXT_EXCISE_WINDOWS,
-        "asof_join_forward": SQL_ASOF_JOIN_FORWARD,
+        # --- merged gates ---
+        "parse_grok_dict": SQL_PARSE_GROK_BOTH,
+        "dedup_exact": SQL_DEDUP_EXACT_MERGED,
+        "multimodal_pipeline": SQL_MULTIMODAL_PIPELINE,
+        "asof_join": SQL_ASOF_JOIN_BOTH,
+        "ann_ivf": SQL_ANN_IVF_BOTH,
+        # --- stable, driver-verified r1-r3 ---
+        "parse_regex": SQL_PARSE_REGEX,
+        "parse_csv": SQL_PARSE_CSV,
+        "parse_json": SQL_PARSE_JSON,
+        "parse_json_dynamic": SQL_PARSE_JSON_DYNAMIC,
+        "validate_filter": SQL_VALIDATE_FILTER,
+        "validate_modes": SQL_VALIDATE_MODES,
+        "rewrite_enrich": SQL_REWRITE_ENRICH,
+        "rewrite_lookup_join": SQL_REWRITE_LOOKUP,
+        "rewrite_jsonify_splice": SQL_REWRITE_JSONIFY_SPLICE,
+        "rewrite_unjsonify": SQL_REWRITE_UNJSONIFY,
+        "rewrite_command": SQL_REWRITE_COMMAND,
+        "rewrite_scrub": SQL_REWRITE_SCRUB,
+        "route_fanout_counts": SQL_ROUTE_FANOUT,
+        "route_rendered": SQL_ROUTE_RENDERED,
+        "route_dead_letter": SQL_ROUTE_DEAD_LETTER,
+        "agg_sink_counts": SQL_AGG_SINK_COUNTS,
+        "agg_distinct_salted": SQL_AGG_DISTINCT_SALTED,
+        "agg_percentiles": SQL_AGG_PERCENTILES,
+        "syslog_decode": SQL_SYSLOG_DECODE,
+        "text_stats": SQL_TEXT_STATS,
+        "text_repetition": SQL_TEXT_REPETITION,
+        "fingerprint_minshingle": SQL_FINGERPRINT_MINSHINGLE,
+        "quality_filter": SQL_QUALITY_FILTER,
+        # the LSH/hash ops are fully SQL-reproducible: md5-based token
+        # hashes (md5_number_upper), literal hyperplanes/centroids, and
+        # a recursive CTE for the leaky-bucket recurrence
+        "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+        "embedding_near_dup_exact": SQL_EMBEDDING_NEAR_DUP_EXACT,
+        "dedup_minhash_pairs": SQL_DEDUP_MINHASH_PAIRS,
+        "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
+        "rate_limit_admit": SQL_RATE_LIMIT_ADMIT,
+        "embed_text_fake": SQL_EMBED_TEXT_FAKE,
+        "curation_pipeline": SQL_CURATION_PIPELINE,
+        "checkpoint_resume": SQL_CHECKPOINT_RESUME,
+        "sessionize": SQL_SESSIONIZE,
+        "dedup_cluster_keep": SQL_DEDUP_CLUSTER_KEEP,
+        "tpch_pricing_summary": SQL_TPCH_PRICING,
+        "tpch_top_orders": SQL_TPCH_TOP_ORDERS,
     }

@@ -152,3 +152,83 @@ def test_excise_duplicated_windows_planted(spark):
     got = {r["doc_id"]: r["text_clean"]
            for r in excise_duplicated_windows(df, "doc_id", "text").collect()}
     assert got == {0: "f g h", 1: "x y z", 2: "p q r s t u v w", 3: ""}
+
+
+def _census_fixture(spark, n_unique=200):
+    """Mostly-unique corpus + one boilerplate sentence shared by 3 docs:
+    the prefilter should pass only the boilerplate windows through to
+    the wide exact census."""
+    boiler = "all rights reserved by the site owner today"
+    rows = [(i, f"unique{i} prose w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f")
+            for i in range(n_unique)]
+    for j in range(3):
+        rows.append((n_unique + j, boiler + f" tail{j} t{j}a t{j}b t{j}c"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicated_window_stats_prefilter_equivalence(spark):
+    """The counting-bucket prefilter is lossless: stats with and without
+    it must be identical, including a deliberately TINY bucket table
+    (high collision rate — false positives cost work, never
+    correctness)."""
+    from logagent_spark.operators.textstats import duplicated_window_stats
+
+    df = _census_fixture(spark)
+    exact = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"],
+                           r["dup_frac_ppm"])
+             for r in duplicated_window_stats(df, "doc_id", "text",
+                                              w=5).collect()}
+    for w_buckets in (1 << 20, 17):  # roomy, then collision-heavy
+        pre = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"],
+                             r["dup_frac_ppm"])
+               for r in duplicated_window_stats(
+                   df, "doc_id", "text", w=5,
+                   prefilter_buckets=w_buckets).collect()}
+        assert pre == exact, w_buckets
+
+
+def test_excise_prefilter_equivalence(spark):
+    from logagent_spark.operators.textstats import excise_duplicated_windows
+
+    df = _census_fixture(spark)
+    exact = {r["doc_id"]: r["text_clean"]
+             for r in excise_duplicated_windows(df, "doc_id", "text",
+                                                w=5).collect()}
+    pre = {r["doc_id"]: r["text_clean"]
+           for r in excise_duplicated_windows(
+               df, "doc_id", "text", w=5,
+               prefilter_buckets=1 << 20).collect()}
+    assert pre == exact
+    # the boilerplate docs actually lost their shared span
+    assert exact[200].startswith("tail0") or " tail0" not in exact[200]
+
+
+def test_prefilter_bounds_census_volume(spark):
+    """The point of the prefilter: with roomy buckets, only the
+    boilerplate occurrences (3 docs x 4 windows) reach the wide exact
+    census — the ~1800 unique windows are dropped by the skinny
+    bucket-count pass."""
+    from pyspark.sql import functions as F
+
+    from logagent_spark.operators.textstats import (
+        _dup_window_occurrences, shingles,
+    )
+
+    df = _census_fixture(spark)
+    occ = df.select(
+        F.col("doc_id"), F.explode(shingles(F.col("text"), 5)).alias("_s")
+    ).select("doc_id", F.md5("_s").alias("_w"))
+    total = occ.count()
+
+    # survivors of the bucket pass alone (before the exact count):
+    b = F.pmod(F.xxhash64("_w"), F.lit(1 << 20))
+    hot = (occ.select(b.alias("_b")).groupBy("_b")
+           .agg(F.count(F.lit(1)).alias("_bn"))
+           .filter(F.col("_bn") >= 2).select("_b"))
+    survivors = occ.withColumn("_b", b).join(F.broadcast(hot), "_b").count()
+    assert total > 800  # ~200 unique docs x 4 windows + boilerplate
+    # 12 true dup occurrences; allow a little collision noise
+    assert survivors <= 40
+
+    dup = _dup_window_occurrences(occ, prefilter_buckets=1 << 20)
+    assert dup.count() == 12  # 3 docs x 4 boilerplate windows
