@@ -50,12 +50,16 @@ def html_to_text(col: Column) -> Column:
     literal-replace string copies) only runs on rows that contain '&'
     at all — most real page text has no entities, and `when` makes the
     whole chain a no-op copy for them."""
+    # the common '<' prefix is FACTORED OUT of the alternation: the
+    # engine attempts a match at every input position, and most
+    # positions are prose — one failed char test there instead of four
+    # (unfactored, the 4-way alternation cost ~1.8x on the 4M-doc bench)
     stripped = F.regexp_replace(
         col,
-        r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>"
-        r"|<!--.*?-->"
-        r"|<!\[CDATA\[.*?\]\]>"
-        r"|<[^>]+>",
+        r"(?is)<(?:(script|style)\b[^>]*>.*?</\1\s*>"
+        r"|!--.*?-->"
+        r"|!\[CDATA\[.*?\]\]>"
+        r"|[^>]+>)",
         "",
     )
     c = F.replace(stripped, F.lit("&lt;"), F.lit("<"))

@@ -1560,9 +1560,12 @@ def q_text_excise_windows(spark, sf_dir):
     """Substring-level dedup CLEANING: every token covered by a 5-token
     window occurring >= 2 times corpus-wide is excised; the oracle
     rebuilds each cleaned text with the same census + position joins in
-    SQL, so the returned strings must match byte-for-byte."""
+    SQL, so the returned strings must match byte-for-byte. Runs through
+    the counting-bucket prefilter (lossless — see text_dup_windows)."""
     docs = _t(spark, sf_dir, "documents")
-    return ts.excise_duplicated_windows(docs, "doc_id", "text", w=5)
+    return ts.excise_duplicated_windows(
+        docs, "doc_id", "text", w=5, prefilter_buckets=1 << 20
+    )
 
 
 SQL_TEXT_EXCISE_WINDOWS = r"""

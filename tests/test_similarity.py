@@ -183,6 +183,62 @@ def test_knn_join_ivf_full_probe_equals_closure_join(spark):
     assert got == want
 
 
+def test_knn_join_ivf_pandas_strategy_equals_expr(spark):
+    """The per-bucket Arrow/numpy scoring path must reproduce the
+    Column-expr path EXACTLY — ids, ppm scores and ranks — at full and
+    partial probe (the sequential-fold numpy dot is bit-identical to
+    the interpreted HOF fold)."""
+    rng = np.random.RandomState(13)
+    base = rng.randn(60, 16)
+    rows = [(i, base[i].tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from pyspark.sql import functions as F
+
+    corpus = df.filter(F.col("vec_id") >= 5)
+    qdf = df.filter(F.col("vec_id") < 5).select(
+        df.vec_id.alias("query_id"), df.embedding.alias("qemb"))
+    cents = sim.seeded_centroids(16, 6, seed=3)
+
+    for nprobe in (6, 2):
+        want = {
+            (r["query_id"], r["vec_id"]): (r["cos_ppm"], r["rank"])
+            for r in sim.knn_join_ivf(
+                corpus, "embedding", qdf, cents, k=4, nprobe=nprobe
+            ).collect()
+        }
+        got = {
+            (r["query_id"], r["vec_id"]): (r["cos_ppm"], r["rank"])
+            for r in sim.knn_join_ivf(
+                corpus, "embedding", qdf, cents, k=4, nprobe=nprobe,
+                strategy="pandas",
+            ).collect()
+        }
+        assert got == want, nprobe
+
+
+def test_knn_join_ivf_pandas_string_ids(spark):
+    """String ids (the bench corpus keys by url): pandas-side ordering
+    must match Spark's binary string order for the ppm tie-break."""
+    rng = np.random.RandomState(17)
+    base = rng.randn(20, 8)
+    # id "a05" vs "a10" etc — lexicographic order differs from numeric
+    rows = [(f"a{i:02d}", base[i].tolist()) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    from pyspark.sql import functions as F
+
+    qdf = df.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb"))
+    cents = sim.seeded_centroids(8, 3, seed=2)
+    want = {(r["query_id"], r["rank"]): r["vec_id"]
+            for r in sim.knn_join_ivf(
+                df, "embedding", qdf, cents, k=5, nprobe=3).collect()}
+    got = {(r["query_id"], r["rank"]): r["vec_id"]
+           for r in sim.knn_join_ivf(
+               df, "embedding", qdf, cents, k=5, nprobe=3,
+               strategy="pandas").collect()}
+    assert got == want
+
+
 def test_knn_join_ivf_partial_probe_planted_clusters(spark):
     """Tight planted clusters around each centroid: with nprobe=1 every
     query's true top-k lives in its own bucket, so partial probe is

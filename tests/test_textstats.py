@@ -232,3 +232,24 @@ def test_prefilter_bounds_census_volume(spark):
 
     dup = _dup_window_occurrences(occ, prefilter_buckets=1 << 20)
     assert dup.count() == 12  # 3 docs x 4 boilerplate windows
+
+
+def test_prefilter_bucket_pass_plan_shape(spark):
+    """The skinny bucket-count pass must get map-side partial
+    aggregation (HashAggregate pair around one Exchange of LONG bucket
+    keys) — the property that bounds its shuffle to <= W rows per
+    partition."""
+    from pyspark.sql import functions as F
+
+    from logagent_spark.operators.textstats import shingles
+
+    df = _census_fixture(spark, n_unique=50)
+    occ = df.select(
+        F.col("doc_id"), F.explode(shingles(F.col("text"), 5)).alias("_s")
+    ).select("doc_id", F.md5("_s").alias("_w"))
+    b = F.pmod(F.xxhash64("_w"), F.lit(1 << 20))
+    hot = (occ.select(b.alias("_b")).groupBy("_b")
+           .agg(F.count(F.lit(1)).alias("_bn"))
+           .filter(F.col("_bn") >= 2).select("_b"))
+    plan = hot._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2  # partial + final
