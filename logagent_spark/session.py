@@ -31,6 +31,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # zstd beats snappy on the write-heavy multiplex sink BOTH ways:
+        # measured 6.1s vs 7.5-9.5s on the 4M-row headline write AND
+        # 311 MB vs 625 MB on disk (fewer bytes win on storage, and the
+        # read-back aggregate scans half the data). Override via extra.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
