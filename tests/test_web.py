@@ -96,3 +96,39 @@ def test_extraction_is_jvm_only(spark, pages_sdf):
     )
     assert "Python" not in plan and "ArrowEval" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_factored_alternation_equals_unfactored(spark):
+    """The factored strip regex (`<(?:A|B|C|D)`) is a pure-performance
+    rewrite of the 4-way alternation; pin byte-equality of the two Java
+    patterns over adversarial random markup (comments, CDATA, script
+    subtrees, unclosed openers, stray '<'/'>', entities)."""
+    import random
+
+    rng = random.Random(99)
+    pieces = [
+        "plain prose ", "a<b", "x > y", "&amp;", "&lt;tag&gt;",
+        "<p class='x'>", "</p>", "<script>if(1<2){go()}</script>",
+        "<style>.a{b:c}</style>", "<!-- note -->", "<!-- multi > in -->",
+        "<![CDATA[ raw <b> ]]>", "<script>never closed",
+        "<!-- never closed", "<br/>", "<<", ">>", "<", ">",
+        "\nnewline\n", "<SCRIPT>UPPER()</SCRIPT>",
+    ]
+    rows = [
+        ("".join(rng.choice(pieces) for _ in range(rng.randint(1, 12))),)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "h string")
+    unfactored = (
+        r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>"
+        r"|<!--.*?-->|<!\[CDATA\[.*?\]\]>|<[^>]+>"
+    )
+    factored = (
+        r"(?is)<(?:(script|style)\b[^>]*>.*?</\1\s*>"
+        r"|!--.*?-->|!\[CDATA\[.*?\]\]>|[^>]+>)"
+    )
+    out = df.select(
+        F.regexp_replace("h", unfactored, "").alias("a"),
+        F.regexp_replace("h", factored, "").alias("b"),
+    )
+    assert out.filter(F.col("a") != F.col("b")).count() == 0
