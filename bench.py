@@ -186,10 +186,14 @@ def _run_worker(parallelism: int) -> dict:
     )
 
 
-def stage_breakdown(spark, pages_path: str) -> dict:
+def stage_breakdown(spark, pages_path: str) -> "tuple[dict, dict]":
     """Per-stage wall times (each stage timed as an incremental count-only
     plan, min of 2 runs — shows where the scan budget goes without
-    run-to-run GC/page-cache noise picking the winner)."""
+    run-to-run GC/page-cache noise picking the winner). Rows carry the
+    same two-fastest-agreement noise flag as operator_queries (VERDICT
+    r3 #3 named route_aggregate/parse_dict_udf — stage rows — as the
+    unflagged suspects): disagreement > 0.5 frac AND > 0.5 s earns one
+    retry, then the flag."""
     from pyspark.sql import functions as F
 
     from logagent_spark.config import PipelineSpec
@@ -212,14 +216,32 @@ def stage_breakdown(spark, pages_path: str) -> dict:
         df.sample(0.002, seed=1)
     ).frame.count()
 
+    noise: dict = {}
+
     def timed(name: str, fn, runs: int = 2) -> None:
-        best = None
+        times = []
         for _ in range(runs):
             t = time.monotonic()
             fn()
-            dt = time.monotonic() - t
-            best = dt if best is None else min(best, dt)
-        out[name] = best
+            times.append(time.monotonic() - t)
+
+        def _spread():
+            s = sorted(times)
+            return s[1] - s[0], (s[1] - s[0]) / s[0] if s[0] > 0 else 0.0
+
+        d_abs, d_frac = _spread()
+        if d_frac > 0.5 and d_abs > 0.5:
+            t = time.monotonic()
+            fn()
+            times.append(time.monotonic() - t)
+            d_abs, d_frac = _spread()
+        out[name] = min(times)
+        noise[name] = {
+            "runs": [round(x, 3) for x in times],
+            "spread_frac": round(d_frac, 3),
+            "noise_suspect": d_frac > 0.5 and d_abs > 0.5,
+            "regressed_vs_best": False,
+        }
 
     # html:binary -> text extraction (north-star input shape) at full
     # corpus scale, with the byte-identity invariant asserted in-run
@@ -276,7 +298,7 @@ def stage_breakdown(spark, pages_path: str) -> dict:
         pipe.sink_counts(routed, lang_col="lang", ts_col="warc_ts").count()
 
     timed("route_aggregate", _route)
-    return out
+    return out, noise
 
 
 def _hist_operator_minima() -> dict:
@@ -724,10 +746,10 @@ def main() -> None:
     spark = _session(CPUS)
     n = PAGES_ROWS.get(_sf_name(), 500_000)
     pages = ensure_pages(spark, n)
-    queries.update(
-        {k: round(v, 3) for k, v in stage_breakdown(spark, pages).items()}
-    )
-    op_times, op_noise = operator_queries(spark)
+    stage_times, op_noise = stage_breakdown(spark, pages)
+    queries.update({k: round(v, 3) for k, v in stage_times.items()})
+    op_times, op_noise2 = operator_queries(spark)
+    op_noise.update(op_noise2)
     queries.update({k: round(v, 3) for k, v in op_times.items()})
     recall = lsh_recall(spark)
     scale100k = lsh_scale_100k(spark, pages)
