@@ -9,6 +9,7 @@ emitted as floor-ppm BIGINTs so value hashes can't diverge on formatting.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2090,38 +2091,19 @@ WHERE ('0x' || substr(md5(event_id::VARCHAR || ':42'), 1, 8))::BIGINT
 # strictly stronger than either half alone), and never-driver-verified
 # entries are registered first.
 
-def q_streaming_dedup_parity(spark, sf_dir):
-    """Driver-visible streaming parity: the streaming exact-dedup twin
-    (streaming/dedup.py — applyInPandasWithState keyed by content hash,
-    first-arrival-wins) runs INSIDE this batch query under
-    trigger(availableNow) into a memory sink; the returned frame is the
-    admitted set. The documents table is one parquet file -> one
-    micro-batch -> the in-batch winner is the min doc_id, so the oracle
-    is the BATCH twin's SQL (min-doc_id winners per normalized content
-    hash). Resume-contract anchor: the kafka collector's offset replay
-    (collector.go:230-260)."""
-    import os
+def _run_available_now(df, name: str):
+    """Run a streaming frame to completion into a memory sink under
+    trigger(availableNow) with a FRESH checkpoint (so repeated calls
+    reprocess) and return the sink table."""
     import tempfile
 
-    from logagent_spark.streaming.dedup import streaming_dedup_exact
-
-    path = f"{sf_dir}/documents.parquet"
-    schema = spark.read.parquet(path).schema
-    # file streams want a directory: stream the sf dir, glob one table
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
-    out = streaming_dedup_exact(stream, "doc_id", "text")
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    name = f"stream_dedup_parity_{tag}"
+    spark = df.sparkSession
     for active in spark.streams.active:
         if active.name == name:
             active.stop()
-    ckpt = tempfile.mkdtemp(prefix="la_stream_parity_")
+    ckpt = tempfile.mkdtemp(prefix=f"la_{name}_")
     sq = (
-        out.writeStream.format("memory")
+        df.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
@@ -2129,19 +2111,85 @@ def q_streaming_dedup_parity(spark, sf_dir):
         .start()
     )
     sq.awaitTermination()
+    return spark.table(name)
+
+
+def _stream_table(spark, sf_dir: str, table: str):
+    """File streams want a directory: stream the sf dir with a glob
+    pinned to one table's parquet file (one file -> one micro-batch)."""
+    schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
     return (
-        spark.table(name)
-        .filter(~F.col("is_dup"))
-        .select("doc_id", "content_hash")
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{table}.parquet")
+        .parquet(sf_dir)
     )
 
 
-SQL_STREAMING_DEDUP_PARITY = r"""
-SELECT min(doc_id) AS doc_id,
-       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
-         AS content_hash
-FROM documents GROUP BY 2
-"""
+def q_streaming_parity(spark, sf_dir):
+    """Driver-visible parity for TWO stateful streaming twins, run
+    INSIDE this batch query under trigger(availableNow) into memory
+    sinks:
+
+    * exact dedup (streaming/dedup.py — applyInPandasWithState keyed by
+      content hash, first-arrival-wins) over documents: one parquet
+      file -> one micro-batch -> the in-batch winner is the min doc_id,
+      so the batch twin's min-id-winners SQL is the oracle;
+    * leaky-bucket rate limit (streaming/ratelimit.py — bucket fill +
+      last-ts state per key) over events with the SAME parameters as
+      the batch gate `rate_limit_admit`, so the recursive-CTE
+      replay is the oracle.
+
+    Results conform to skinny (gate, key, val) rows so one driver row
+    hash-checks both twins. Resume-contract anchor: the kafka
+    collector's offset replay (collector.go:230-260)."""
+    from logagent_spark.streaming.dedup import streaming_dedup_exact
+    from logagent_spark.streaming.ratelimit import rate_limited
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+
+    dedup = _run_available_now(
+        streaming_dedup_exact(
+            _stream_table(spark, sf_dir, "documents"), "doc_id", "text"
+        ),
+        f"stream_dedup_parity_{tag}",
+    )
+    a = (
+        dedup.filter(~F.col("is_dup"))
+        .select(
+            F.lit("dedup").alias("gate"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.col("content_hash").alias("val"),
+        )
+    )
+
+    limited = _run_available_now(
+        rate_limited(
+            _stream_table(spark, sf_dir, "events"),
+            "event_type", "ts", size=5, leak_interval_s=3600.0,
+            payload_cols=["event_id"], order_cols=["ts", "event_id"],
+        ),
+        f"stream_ratelimit_parity_{tag}",
+    )
+    b = limited.select(
+        F.lit("ratelimit").alias("gate"),
+        F.col("event_id").cast("string").alias("key"),
+        F.col("admitted").cast("string").alias("val"),
+    )
+    return a.unionByName(b)
+
+
+SQL_STREAMING_PARITY = (
+    r"""
+SELECT 'dedup' AS gate, min(doc_id)::VARCHAR AS key,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS val
+FROM documents GROUP BY 3
+UNION ALL
+SELECT 'ratelimit' AS gate, event_id::VARCHAR AS key,
+       admitted::VARCHAR AS val
+FROM ("""
+    + SQL_RATE_LIMIT_ADMIT
+    + ") rl"
+)
 
 
 def q_knn_join_ivf(spark, sf_dir):
@@ -2315,7 +2363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (test_dedup) under the pairs gate."""
     return {
         # --- new / never driver-verified this code (r4) ---
-        "streaming_dedup_parity": q_streaming_dedup_parity,
+        "streaming_parity": q_streaming_parity,
         "knn_join_ivf": q_knn_join_ivf,
         "collector_file_dir": q_collector_file_dir,
         "degradation_sample": q_degradation_sample,
@@ -2373,7 +2421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         # --- new / never driver-verified this code (r4) ---
-        "streaming_dedup_parity": SQL_STREAMING_DEDUP_PARITY,
+        "streaming_parity": SQL_STREAMING_PARITY,
         "knn_join_ivf": SQL_KNN_JOIN,
         "collector_file_dir": SQL_COLLECTOR_FILE_DIR,
         "degradation_sample": SQL_DEGRADATION_SAMPLE,
