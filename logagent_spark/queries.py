@@ -2126,7 +2126,7 @@ def _stream_table(spark, sf_dir: str, table: str):
 
 
 def q_streaming_parity(spark, sf_dir):
-    """Driver-visible parity for TWO stateful streaming twins, run
+    """Driver-visible parity for THREE stateful streaming twins, run
     INSIDE this batch query under trigger(availableNow) into memory
     sinks:
 
@@ -2137,12 +2137,19 @@ def q_streaming_parity(spark, sf_dir):
     * leaky-bucket rate limit (streaming/ratelimit.py — bucket fill +
       last-ts state per key) over events with the SAME parameters as
       the batch gate `rate_limit_admit`, so the recursive-CTE
-      replay is the oracle.
+      replay is the oracle;
+    * native session_window sessionization (streaming/pipeline.py) over
+      events in its documented bounded-run 'complete' mode (append
+      would hold trailing sessions open past the final watermark); the
+      oracle replays session_window's HALF-OPEN gap semantics (a gap of
+      exactly 30 min splits — `>=` — where the batch sessionizer's `>`
+      keeps; the divergence is documented on the operator).
 
     Results conform to skinny (gate, key, val) rows so one driver row
-    hash-checks both twins. Resume-contract anchor: the kafka
+    hash-checks all three twins. Resume-contract anchor: the kafka
     collector's offset replay (collector.go:230-260)."""
     from logagent_spark.streaming.dedup import streaming_dedup_exact
+    from logagent_spark.streaming.pipeline import streaming_session_counts
     from logagent_spark.streaming.ratelimit import rate_limited
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
@@ -2175,7 +2182,40 @@ def q_streaming_parity(spark, sf_dir):
         F.col("event_id").cast("string").alias("key"),
         F.col("admitted").cast("string").alias("val"),
     )
-    return a.unionByName(b)
+
+    sess_name = f"stream_session_parity_{tag}"
+    for active in spark.streams.active:
+        if active.name == sess_name:
+            active.stop()
+    sq = streaming_session_counts(
+        spark, sf_dir,
+        schema=spark.read.parquet(f"{sf_dir}/events.parquet").schema,
+        key_col="user_id", ts_col="ts", gap="30 minutes",
+        query_name=sess_name, output_mode="complete",
+        path_glob="events.parquet",
+        # parquet ts is NTZ; watermarks demand TIMESTAMP (UTC session)
+        source_adapter=lambda df: df.withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ),
+    )
+    sq.awaitTermination()
+    c = spark.table(sess_name).select(
+        F.lit("session").alias("gate"),
+        F.concat(
+            F.col("user_id").cast("string"), F.lit(":"),
+            # parquet ts is NTZ; unix_micros wants TIMESTAMP (CLAUDE.md)
+            F.unix_micros(
+                F.col("session_window.start").cast("timestamp")
+            ).cast("string"),
+        ).alias("key"),
+        F.concat(
+            F.unix_micros(
+                F.col("session_window.end").cast("timestamp")
+            ).cast("string"),
+            F.lit(":"), F.col("n_events").cast("string"),
+        ).alias("val"),
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 SQL_STREAMING_PARITY = (
@@ -2188,7 +2228,31 @@ SELECT 'ratelimit' AS gate, event_id::VARCHAR AS key,
        admitted::VARCHAR AS val
 FROM ("""
     + SQL_RATE_LIMIT_ADMIT
-    + ") rl"
+    + r""") rl
+UNION ALL
+-- session_window semantics: HALF-OPEN [start, start+gap) spans, so a
+-- gap of EXACTLY 30 min opens a new session (>=); window start = first
+-- event ts, end = last event ts + gap. RANGE-framed running sum gives
+-- tied timestamps one session id regardless of tie order.
+SELECT 'session' AS gate,
+       user_id::VARCHAR || ':' || min(tus)::VARCHAR AS key,
+       (max(tus) + 1800000000)::VARCHAR || ':' || count(*)::VARCHAR AS val
+FROM (
+  SELECT user_id, tus,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY tus) AS sid
+  FROM (
+    SELECT user_id, epoch_us(ts) AS tus,
+           CASE WHEN lag(epoch_us(ts)) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                ) IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                ) >= 1800000000
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+  ) f
+) g
+GROUP BY user_id, sid"""
 )
 
 

@@ -119,6 +119,7 @@ def streaming_session_counts(
     source_adapter=None,
     query_name: str = "session_counts",
     output_mode: str = "append",
+    path_glob: str | None = None,
 ):
     """Native Structured-Streaming sessionization: `session_window`
     merges events within `gap` per key; the watermark bounds state (a
@@ -139,7 +140,10 @@ def streaming_session_counts(
     ALL aggregation state forever — O(history), NOT bounded by the
     watermark — so it is only safe for bounded availableNow test runs,
     never for a long-running query."""
-    stream = spark.readStream.schema(schema).parquet(input_dir)
+    reader = spark.readStream.schema(schema)
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    stream = reader.parquet(input_dir)
     if source_adapter is not None:
         stream = source_adapter(stream)
     agg = (
