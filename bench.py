@@ -303,13 +303,19 @@ def stage_breakdown(spark, pages_path: str) -> "tuple[dict, dict]":
 
 def _hist_operator_minima() -> dict:
     """Fastest non-suspect historical timing per operator row (the
-    committed regression baseline for the >1.5x flag)."""
+    committed regression baseline for the >1.5x flag). Only entries
+    recorded at the SAME sf and cpus count (SPARK_GRAFT_SF_DIR /
+    SPARK_GRAFT_CPUS are overridable — a run at sf0.01 would otherwise
+    seed tiny minima and flag every sf0.1 row as regressed)."""
     best: dict = {}
+    sf_now, cpus_now = _sf_value(), CPUS
     path = os.path.join(REPO, ".bench_history.jsonl")
     if os.path.exists(path):
         with open(path) as f:
             for line in f:
                 h = json.loads(line)
+                if h.get("sf") != sf_now or h.get("cpus", cpus_now) != cpus_now:
+                    continue
                 for k, v in (h.get("operators") or {}).items():
                     flags = (h.get("operators_noise") or {}).get(k, {})
                     if not flags.get("noise_suspect"):
@@ -631,11 +637,11 @@ def knn_ivf_large_q(spark, pages_path: str, n_queries: int = 10_000) -> dict:
         strategy="pandas",  # the large-Q scale path: per-bucket numpy
     ).persist()
     rows = out.count()
-    self_hits = out.filter(
+    sec = time.monotonic() - t0  # join only — verification reads the
+    self_hits = out.filter(      # persisted result outside the clock
         (F.col("rank") == 1) & (F.col("query_id") == F.col("vec_id"))
     ).count()
     n_q = out.select("query_id").distinct().count()
-    sec = time.monotonic() - t0
     out.unpersist()
     return {
         "n_queries": n_q,

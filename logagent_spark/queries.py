@@ -10,6 +10,8 @@ emitted as floor-ppm BIGINTs so value hashes can't diverge on formatting.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2094,14 +2096,16 @@ WHERE ('0x' || substr(md5(event_id::VARCHAR || ':42'), 1, 8))::BIGINT
 def _run_available_now(df, name: str):
     """Run a streaming frame to completion into a memory sink under
     trigger(availableNow) with a FRESH checkpoint (so repeated calls
-    reprocess) and return the sink table."""
-    import tempfile
-
+    reprocess) and return the sink table. The checkpoint path is
+    deterministic (keyed by query name) and wiped before start, so
+    repeated oracle/driver runs don't accumulate orphan dirs
+    (ADVICE r4)."""
     spark = df.sparkSession
     for active in spark.streams.active:
         if active.name == name:
             active.stop()
-    ckpt = tempfile.mkdtemp(prefix=f"la_{name}_")
+    ckpt = os.path.join(tempfile.gettempdir(), f"la_ckpt_{name}")
+    shutil.rmtree(ckpt, ignore_errors=True)
     sq = (
         df.writeStream.format("memory")
         .queryName(name)
