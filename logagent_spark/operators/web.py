@@ -9,8 +9,13 @@ text per url. This module is that extraction as pure Column expressions
 
   * drop <script>/<style> subtrees (their text is not page text);
   * strip tags;
-  * decode the five basic entities, `&amp;` LAST (the exact inverse of
-    escape order, so escape -> extract round-trips byte-identically);
+  * decode entities: the named basic set (`amp lt gt quot apos`) plus
+    numeric character references (`&#NN;` decimal / `&#xNN;` hex, full
+    Unicode range incl. surrogate-pair codepoints, HTML5 U+FFFD
+    replacement for invalid codepoints) — named-only rows take an
+    amp-LAST literal-replace chain (the exact inverse of escape order,
+    so escape -> extract round-trips byte-identically), '&#'-bearing
+    rows take a single-pass split/decode/stitch (`decode_entities`);
   * whitespace is preserved verbatim — collapsing would break the
     byte-identity invariant.
 
@@ -25,6 +30,88 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["escape_html_text", "html_to_text", "extract_text_from_html"]
+
+# one entity reference: named basic set OR numeric (decimal / hex),
+# semicolon-terminated (unterminated legacy forms are out of scope).
+# The '&' prefix is shared by construction; digit bounds keep the
+# codepoint parse in long range.
+_ENT_BODY = r"(?:amp|lt|gt|quot|apos|#(?:[xX][0-9a-fA-F]{1,6}|[0-9]{1,7}))"
+_ENT_SPLIT = rf"&{_ENT_BODY};"
+_ENT_EXTRACT = rf"&({_ENT_BODY});"
+
+
+def _codepoint_char(body: Column) -> Column:
+    """Numeric-reference body ('#65' or '#x41') -> its character.
+
+    Codepoint -> UTF-16BE bytes (surrogate pair above the BMP) ->
+    `decode`. HTML5 replacement semantics for invalid references:
+    0, surrogates, and > 0x10FFFF all yield U+FFFD. (Divergence from
+    the full spec, documented: the Windows-1252 remap of &#x80;-&#x9F;
+    is not applied — those decode as the C1 codepoints themselves.)
+    CaseWhen short-circuits per row, so the decode never sees the
+    invalid codepoints that would raise MALFORMED_CHARACTER_CODING."""
+    digits = F.substring(body, 2, 8)  # strip '#'
+    cp = (
+        F.when(
+            digits.rlike("^[xX]"),
+            F.conv(F.substring(digits, 2, 7), 16, 10).cast("long"),
+        )
+        .otherwise(digits.cast("long"))
+    )
+    bmp = F.lpad(F.lower(F.hex(cp)), 4, "0")
+    sup = F.concat(
+        F.lpad(F.lower(F.hex(F.shiftright(cp - 0x10000, 10) + 0xD800)), 4, "0"),
+        F.lpad(F.lower(F.hex((cp - 0x10000).bitwiseAND(0x3FF) + 0xDC00)), 4, "0"),
+    )
+    invalid = (
+        (cp < 1) | (cp > 0x10FFFF) | ((cp >= 0xD800) & (cp <= 0xDFFF))
+    )
+    return (
+        F.when(invalid, F.lit("�"))
+        .when(cp <= 0xFFFF, F.decode(F.unhex(bmp), "UTF-16BE"))
+        .otherwise(F.decode(F.unhex(sup), "UTF-16BE"))
+    )
+
+
+def _entity_char(body: Column) -> Column:
+    """Entity body (no '&'/';') -> decoded character."""
+    return (
+        F.when(body == "amp", F.lit("&"))
+        .when(body == "lt", F.lit("<"))
+        .when(body == "gt", F.lit(">"))
+        .when(body == "quot", F.lit('"'))
+        .when(body == "apos", F.lit("'"))
+        .otherwise(_codepoint_char(body))
+    )
+
+
+def decode_entities(col: Column) -> Column:
+    """SINGLE-PASS entity decode (named basic set + numeric character
+    references, decimal and hex): split the text on entity matches,
+    decode each match independently, and stitch parts and decoded
+    characters back together. One pass is what makes nested-looking
+    input correct — '&#38;amp;' is the TEXT '&amp;', which any
+    sequential replace chain would decode twice.
+
+    Pure Column exprs: two JVM regex passes (split + extract_all) plus
+    interpreted HOF stitching — fine per-row (CLAUDE.md); callers gate
+    on a cheap `contains` so most rows never reach it. The parts and
+    chars arrays are built OUTSIDE the lambdas (outer args only), per
+    the HOF-CSE doctrine."""
+    parts = F.split(col, _ENT_SPLIT, -1)
+    chars = F.transform(
+        F.regexp_extract_all(col, F.lit(_ENT_EXTRACT), 1), _entity_char
+    )
+    interleaved = F.zip_with(
+        F.slice(parts, 1, F.size(chars)), chars,
+        lambda p, d: F.concat(p, d),
+    )
+    # array_join, NOT an aggregate fold: the fold re-copies the growing
+    # accumulator per element (quadratic in entity count — measured
+    # 13.8s fold vs 11.4s array_join per 1M entity-dense rows)
+    return F.concat(
+        F.array_join(interleaved, ""), F.element_at(parts, -1)
+    )
 
 
 def escape_html_text(col: Column) -> Column:
@@ -65,8 +152,20 @@ def html_to_text(col: Column) -> Column:
     c = F.replace(stripped, F.lit("&lt;"), F.lit("<"))
     c = F.replace(c, F.lit("&gt;"), F.lit(">"))
     c = F.replace(c, F.lit("&quot;"), F.lit('"'))
-    c = F.replace(c, F.lit("&#39;"), F.lit("'"))
-    decoded = F.replace(c, F.lit("&amp;"), F.lit("&"))
+    c = F.replace(c, F.lit("&apos;"), F.lit("'"))
+    chained = F.replace(c, F.lit("&amp;"), F.lit("&"))
+    # rows carrying a numeric reference ('&#NN;' / '&#xNN;') take the
+    # single-pass decoder (the chain can't express them, and only a
+    # single pass decodes '&#38;amp;'-style nesting correctly); the
+    # amp-LAST literal chain is single-pass-equivalent for named-only
+    # rows (no produced char except amp's '&' can re-form an entity,
+    # and amp runs last) and ~10x cheaper (measured, 1M x 1KB rows with
+    # 54 entities each: chain 1.2s, bounded basic-set regexp chain 3.0s
+    # but wrong on '&#38;amp;' nesting and numeric-only, single-pass
+    # 11.4s; gated html_to_text on named-only rows stays at 1.6s).
+    decoded = F.when(
+        stripped.contains("&#"), decode_entities(stripped)
+    ).otherwise(chained)
     return F.when(stripped.contains("&"), decoded).otherwise(stripped)
 
 

@@ -132,3 +132,91 @@ def test_factored_alternation_equals_unfactored(spark):
         F.regexp_replace("h", factored, "").alias("b"),
     )
     assert out.filter(F.col("a") != F.col("b")).count() == 0
+
+
+def test_numeric_character_references(spark):
+    """Decimal and hex numeric refs decode across the basic set, the
+    BMP, and supplementary planes; invalid codepoints (0, surrogates,
+    > 0x10FFFF) yield U+FFFD per HTML5 replacement semantics."""
+    rows = [
+        ("&#65;&#x42;c", "ABc"),
+        ("&#60;tag&#62; &#38; &#34;q&#34; &#39;a&#39;", '<tag> & "q" \'a\''),
+        ("&#x3C;&#X3E;&#x26;&#x22;&#x27;", "<>&\"'"),
+        ("caf&#233; &#xe9; &#x20AC;", "café é €"),
+        ("&#128512; and &#x1F600;", "😀 and 😀"),
+        ("&#0; &#55296; &#xDFFF; &#1114112; &#x110000;", "� � � � �"),
+        ("no refs at all", "no refs at all"),
+        ("&#zz; &# ; &#x; malformed stay", "&#zz; &# ; &#x; malformed stay"),
+        ("&#000065; zero-padded", "A zero-padded"),
+        ("tail ends with ref &#33;", "tail ends with ref !"),
+        ("&#33; leads", "! leads"),
+    ]
+    df = spark.createDataFrame(rows, "h string, want string")
+    out = df.select("want", html_to_text(F.col("h")).alias("t"))
+    bad = out.filter(F.col("t") != F.col("want")).collect()
+    assert not bad, bad
+
+
+def test_single_pass_decode_no_double_decode(spark):
+    """'&#38;amp;' is the TEXT '&amp;' — a sequential replace chain
+    decodes it twice; the single-pass decoder must not."""
+    rows = [
+        ("&#38;amp;", "&amp;"),
+        ("&#38;lt;b&#38;gt;", "&lt;b&gt;"),
+        ("&amp;#65;", "&#65;"),   # escaped literal numeric ref
+        ("&#38;#65;", "&#65;"),
+        ("&amp;amp;", "&amp;"),
+    ]
+    df = spark.createDataFrame(rows, "h string, want string")
+    out = df.select("want", html_to_text(F.col("h")).alias("t"))
+    bad = out.filter(F.col("t") != F.col("want")).collect()
+    assert not bad, bad
+
+
+def test_entity_decode_matches_html_unescape(spark):
+    """Property test vs the stdlib html.unescape oracle over mixed
+    entity/prose pages, scoped to the implemented surface: semicolon-
+    terminated refs, codepoints outside the C0/C1 control ranges (the
+    spec remaps 0x80-0x9F via Windows-1252; CPython additionally DROPS
+    other controls and noncharacters — we decode them as-is)."""
+    import html as pyhtml
+    import random
+
+    rng = random.Random(4242)
+
+    def rand_cp():
+        while True:
+            cp = rng.choice([
+                rng.randint(0x20, 0x7E), rng.randint(0xA0, 0xD7FF),
+                rng.randint(0xE000, 0xFFFD), rng.randint(0x10000, 0x10FFFF),
+                rng.randint(0x110000, 0x3FFFFF), 0, 0xD800, 0xDC00,
+            ])
+            if 0xFDD0 <= cp <= 0xFDEF:  # noncharacters: CPython drops
+                continue
+            if cp <= 0x10FFFF and (cp & 0xFFFE) == 0xFFFE:
+                continue
+            return cp
+
+    pieces = []
+    for _ in range(400):
+        r = rng.random()
+        if r < 0.3:
+            pieces.append(f"&#{rand_cp()};")
+        elif r < 0.6:
+            pieces.append(f"&#x{rand_cp():x};" if rng.random() < 0.5
+                          else f"&#X{rand_cp():X};")
+        elif r < 0.8:
+            pieces.append(rng.choice(
+                ["&amp;", "&lt;", "&gt;", "&quot;", "&apos;"]))
+        else:
+            pieces.append(rng.choice(
+                ["plain ", "a&b", " x ", "&", "#", ";", "&# ", "123;"]))
+    rows = [
+        ("".join(rng.choice(pieces) for _ in range(rng.randint(1, 10))),)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "h string")
+    got = {r["h"]: r["t"] for r in
+           df.select("h", html_to_text(F.col("h")).alias("t")).collect()}
+    for h, t in got.items():
+        assert t == pyhtml.unescape(h), (h, t, pyhtml.unescape(h))
