@@ -282,3 +282,115 @@ def test_streaming_dedup_exact_across_batches(spark, tmp_path):
         by_hash.setdefault(r["content_hash"], []).append(r)
     for h, rs in by_hash.items():
         assert sum(not r["is_dup"] for r in rs) == 1, h
+
+
+def test_streaming_dedup_ttl_horizon_and_eviction(spark, tmp_path):
+    """Bounded TTL mode: inside the horizon parity with unbounded dedup
+    is exact (duplicates flagged); once the watermark passes a content's
+    last sighting + ttl its re-arrival is RE-ADMITTED (the documented
+    forgetting semantics), and the engine physically evicts expired
+    state (observed via the state operator's numRowsRemoved metric)."""
+    import time as _time
+
+    from logagent_spark.streaming.dedup import streaming_dedup_exact
+
+    in_dir = str(tmp_path / "ttl_in")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "doc_id long, sec double, text string") \
+            .coalesce(1).write.mode("append").parquet(in_dir)
+        _time.sleep(1.2)  # distinct mod-times => deterministic batch order
+
+    ttl = 3600.0
+    # t=100 not t=0: the initial watermark IS epoch 0 and the stateful
+    # operator drops rows with ts <= watermark as late
+    write_batch([(0, 100.0, "doc A"), (1, 100.0, "doc B")])
+    # watermark still 100s here: B's dup is INSIDE the horizon -> flagged
+    write_batch([(2, 10_000.0, "doc C"), (3, 10_000.0, "doc B")])
+    # watermark now 10000s: A's last sighting (t=100) + ttl has passed ->
+    # re-admitted; B's (t=10000) has not -> flagged
+    write_batch([(4, 10_001.0, "doc A"), (5, 10_001.0, "doc B")])
+    # two fillers: first advances the watermark to 10001s, second runs
+    # with watermark 20000s so A/B/C state (timeouts <= 13601s) fires
+    # hasTimedOut and is physically removed
+    write_batch([(6, 20_000.0, "filler one")])
+    write_batch([(7, 20_002.0, "filler two")])
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .select("doc_id", F.timestamp_seconds("sec").alias("ts"), "text")
+        .withWatermark("ts", "0 seconds")
+    )
+    q = (
+        streaming_dedup_exact(
+            stream, "doc_id", "text", ttl_s=ttl, ts_col="ts",
+        )
+        .writeStream.outputMode("append")
+        .format("memory").queryName("dd_ttl_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    removed = sum(
+        op.get("numRowsRemoved", 0)
+        for p in q.recentProgress for op in p["stateOperators"]
+    )
+    got = {r["doc_id"]: r["is_dup"]
+           for r in spark.sql("select * from dd_ttl_test").collect()}
+    assert got == {
+        0: False, 1: False,          # first arrivals
+        2: False, 3: True,           # C fresh; B dup inside horizon
+        4: False,                    # A re-admitted: horizon passed
+        5: True,                     # B still inside horizon
+        6: False, 7: False,
+    }
+    assert removed > 0, q.recentProgress  # physical state eviction fired
+
+
+def test_streaming_dedup_sharded_union_equals_unsharded(spark, tmp_path):
+    """Hash-space sharding: n_shards jobs over disjoint shard slices
+    each hold 1/n of the state, and their admitted sets union to
+    EXACTLY the unsharded answer (shard is a function of the content
+    hash, so no content spans jobs)."""
+    import time as _time
+
+    from logagent_spark.streaming.dedup import streaming_dedup_exact
+
+    in_dir = str(tmp_path / "shard_in")
+    contents = [f"sharded doc {i}" for i in range(8)]
+    rows1 = [(i, contents[i % 8]) for i in range(12)]
+    rows2 = [(12 + i, contents[i % 8]) for i in range(12)]
+    spark.createDataFrame(rows1, "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    _time.sleep(1.2)
+    spark.createDataFrame(rows2, "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+
+    schema = spark.read.parquet(in_dir).schema
+
+    def run(name, **kw):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            streaming_dedup_exact(stream, "doc_id", "text", **kw)
+            .writeStream.outputMode("append")
+            .format("memory").queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.sql(f"select * from {name}").collect()
+
+    full = run("dd_shard_full")
+    s0 = run("dd_shard_0", n_shards=2, shard=0)
+    s1 = run("dd_shard_1", n_shards=2, shard=1)
+    assert 0 < len(s0) < len(full) and 0 < len(s1) < len(full)
+    assert len(s0) + len(s1) == len(full) == 24
+    union = sorted((r["doc_id"], r["is_dup"]) for r in s0 + s1)
+    assert union == sorted((r["doc_id"], r["is_dup"]) for r in full)
