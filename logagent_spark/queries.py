@@ -2142,10 +2142,13 @@ def q_streaming_parity(spark, sf_dir):
       last-ts state per key) over events with the SAME parameters as
       the batch gate `rate_limit_admit`, so the recursive-CTE
       replay is the oracle;
-    * native session_window sessionization (streaming/pipeline.py) over
-      events in its documented bounded-run 'complete' mode (append
-      would hold trailing sessions open past the final watermark); the
-      oracle replays session_window's HALF-OPEN gap semantics (a gap of
+    * native session_window sessionization (streaming/pipeline.py) in
+      the production 'append' mode — a far-future SENTINEL event
+      (user_id -1, excluded from the result) is appended to the bounded
+      input so the final watermark passes every real session's end and
+      append emits them all; the sentinel's own still-open session is
+      held in state, exactly the append eviction contract. The oracle
+      replays session_window's HALF-OPEN gap semantics (a gap of
       exactly 30 min splits — `>=` — where the batch sessionizer's `>`
       keeps; the divergence is documented on the operator).
 
@@ -2191,19 +2194,32 @@ def q_streaming_parity(spark, sf_dir):
     for active in spark.streams.active:
         if active.name == sess_name:
             active.stop()
+    # sentinel-flushed append input: events + one far-future row. The
+    # no-data micro-batch after the last file advances the watermark to
+    # sentinel_ts - delay, past every real session's end, so append
+    # emits them all and evicts their state.
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sess_in = os.path.join(tempfile.gettempdir(), f"la_sess_in_{tag}")
+    shutil.rmtree(sess_in, ignore_errors=True)
+    sentinel = ev.agg(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+    )
+    ev.select("event_id", "ts", "user_id").unionByName(sentinel) \
+        .coalesce(1).write.mode("overwrite").parquet(sess_in)
     sq = streaming_session_counts(
-        spark, sf_dir,
-        schema=spark.read.parquet(f"{sf_dir}/events.parquet").schema,
+        spark, sess_in,
+        schema=spark.read.parquet(sess_in).schema,
         key_col="user_id", ts_col="ts", gap="30 minutes",
-        query_name=sess_name, output_mode="complete",
-        path_glob="events.parquet",
+        query_name=sess_name, output_mode="append",
         # parquet ts is NTZ; watermarks demand TIMESTAMP (UTC session)
         source_adapter=lambda df: df.withColumn(
             "ts", F.col("ts").cast("timestamp")
         ),
     )
     sq.awaitTermination()
-    c = spark.table(sess_name).select(
+    c = spark.table(sess_name).filter(F.col("user_id") >= 0).select(
         F.lit("session").alias("gate"),
         F.concat(
             F.col("user_id").cast("string"), F.lit(":"),
