@@ -591,18 +591,33 @@ def lsh_scale_100k(spark, pages_path: str) -> dict:
     }
 
 
-def knn_ivf_large_q(spark, pages_path: str, n_queries: int = 10_000) -> dict:
-    """The large-Q k-NN regime (VERDICT r3 #6): 10k query vectors as a
-    DataFrame joined against a ~100k-vector corpus through IVF buckets
-    with partial probe — the corpus is scanned ONCE and never shuffled
-    (the probed query side broadcasts). Queries are corpus vectors, so
-    every query's own bucket is its first probe and rank-1 must be
-    itself (up to exact-duplicate texts sharing an embedding, where the
-    lower id wins the ppm tie) — self_hit_rate is an in-run exactness
-    signal. Scoring uses the per-bucket Arrow/numpy strategy — the
-    Column-expr path is interpreted HOF evaluation per pair and
-    measured ~460 s on the same 31M candidates."""
-    import numpy as np  # noqa: F401
+def knn_ivf_large_q(
+    spark, pages_path: str, n_queries: int = 10_000, k: int = 5
+) -> dict:
+    """The large-Q k-NN regime (VERDICT r3 #6, recall protocol r4 #2):
+    10k query vectors as a DataFrame joined against a ~100k-vector
+    corpus through IVF buckets with partial probe. Centroids are
+    KMEANS-REFINED on the corpus (realistic bucket balance — seeded
+    random centroids leave a heavy bucket-occupancy tail), the refine
+    timed separately as index build.
+
+    Quality is measured two ways on a 1k planted-query subset:
+
+    * planted recall@k — each planted query has a cos~0.9998 twin
+      inserted into the corpus (the LSH planting protocol); a twin this
+      close almost always shares its query's top bucket, so this is a
+      NECESSARY-but-weak signal reported per nprobe;
+    * exact top-k recall — |approx top-k ∩ brute-force top-k| / k
+      averaged over the planted queries, the real quality measure (true
+      neighbors at ordinary angles scatter across buckets). Ground
+      truth is the closure-Q `knn_join` (sequential-fold scores,
+      bit-identical ordering).
+
+    The headline timing is the full 10k-query join at nprobe 2/64 via
+    the per-bucket Arrow/numpy strategy (the Column-expr path is
+    interpreted HOF evaluation per pair, measured ~460 s on the same
+    candidate volume)."""
+    import numpy as np
 
     from pyspark.sql import functions as F
 
@@ -622,6 +637,31 @@ def knn_ivf_large_q(spark, pages_path: str, n_queries: int = 10_000) -> dict:
             ]).alias("embedding"),
         )
     )
+    # planted subset: 1/10 of the query population, deterministic
+    planted_rows = (
+        corpus.filter(F.crc32(F.col("vec_id")) % 4000 == 0).collect()
+    )
+    rng = np.random.RandomState(7)
+    twins = []
+    for r in planted_rows:
+        e = np.asarray(r["embedding"], dtype=float)
+        sigma = 0.02 * np.linalg.norm(e) / np.sqrt(dim)
+        twins.append((
+            f"planted:{r['vec_id']}",
+            [float(x) for x in e + sigma * rng.randn(dim)],
+        ))
+    corpus_all = corpus.unionByName(
+        spark.createDataFrame(twins, "vec_id string, embedding array<double>")
+    ).persist()
+    n_corpus = corpus_all.count()
+
+    t0 = time.monotonic()
+    cents = sim.kmeans_refine(
+        corpus_all, "embedding",
+        sim.seeded_centroids(dim, 64, seed=5), iters=2,
+    )
+    index_sec = time.monotonic() - t0
+
     qdf = (
         corpus.filter(F.crc32(F.col("vec_id")) % 400 == 0)
         .limit(n_queries)
@@ -630,10 +670,9 @@ def knn_ivf_large_q(spark, pages_path: str, n_queries: int = 10_000) -> dict:
             F.col("embedding").alias("qemb"),
         )
     )
-    cents = sim.seeded_centroids(dim, 64, seed=5)
     t0 = time.monotonic()
     out = sim.knn_join_ivf(
-        corpus, "embedding", qdf, cents, k=5, nprobe=2,
+        corpus_all, "embedding", qdf, cents, k=k, nprobe=2,
         strategy="pandas",  # the large-Q scale path: per-bucket numpy
     ).persist()
     rows = out.count()
@@ -643,14 +682,59 @@ def knn_ivf_large_q(spark, pages_path: str, n_queries: int = 10_000) -> dict:
     ).count()
     n_q = out.select("query_id").distinct().count()
     out.unpersist()
+
+    # recall sweep on the planted queries: exact ground truth once,
+    # then partial-probe runs at nprobe 1/2/4/8
+    pq = [(r["vec_id"], list(r["embedding"])) for r in planted_rows]
+    pq_df = spark.createDataFrame(
+        [(i, v) for i, v in pq], "query_id string, qemb array<double>"
+    )
+    # ground truth via knn_join needs long query ids; map index->vec_id
+    truth = sim.knn_join(
+        corpus_all, "embedding",
+        [(i, v) for i, (_qid, v) in enumerate(pq)],
+        k=k, id_col="vec_id", max_queries=1024,
+    ).collect()
+    truth_sets: dict = {}
+    for r in truth:
+        truth_sets.setdefault(pq[r["query_id"]][0], set()).add(r["vec_id"])
+
+    sweep = {}
+    for nprobe in (1, 2, 4, 8):
+        t0 = time.monotonic()
+        res = sim.knn_join_ivf(
+            corpus_all, "embedding", pq_df, cents, k=k, nprobe=nprobe,
+            strategy="pandas",
+        ).collect()
+        s_sec = time.monotonic() - t0
+        got: dict = {}
+        for r in res:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        planted_hits = sum(
+            1 for qid in truth_sets if f"planted:{qid}" in got.get(qid, ())
+        )
+        inter = sum(
+            len(truth_sets[qid] & got.get(qid, set())) for qid in truth_sets
+        )
+        sweep[f"nprobe{nprobe}"] = {
+            "planted_recall": round(planted_hits / len(truth_sets), 4),
+            "topk_recall": round(inter / (len(truth_sets) * k), 4),
+            "sec": round(s_sec, 2),
+        }
+    corpus_all.unpersist()
+
     return {
         "n_queries": n_q,
-        "n_corpus": corpus.count(),
+        "n_corpus": n_corpus,
+        "n_planted": len(pq),
         "nprobe": 2,
         "n_centroids": 64,
+        "kmeans_iters": 2,
+        "index_sec": round(index_sec, 2),
         "result_rows": rows,
         "self_hit_rate": round(self_hits / n_q, 4) if n_q else 0.0,
         "sec": round(sec, 2),
+        "recall_sweep": sweep,
     }
 
 
@@ -959,7 +1043,19 @@ def main() -> None:
             f"{largeq['self_hit_rate']} "
             "(each query is a corpus vector, so rank-1 must be itself "
             "up to exact-duplicate texts sharing an embedding - an "
-            "in-run exactness signal).\n"
+            "in-run exactness signal). Centroids kmeans-refined on the "
+            f"corpus ({largeq['kmeans_iters']} Lloyd rounds, "
+            f"{largeq['index_sec']}s index build, timed separately). "
+            f"Recall on {largeq['n_planted']} planted cos~0.9998 "
+            "twin queries, per nprobe "
+            "(planted recall@5 = twin found; top-k recall = overlap "
+            "with the exact knn_join top-5, the real quality measure): "
+            + "; ".join(
+                f"{npk[6:]}/64: planted {v['planted_recall']}, topk "
+                f"{v['topk_recall']} ({v['sec']}s)"
+                for npk, v in largeq["recall_sweep"].items()
+            )
+            + ".\n"
         )
 
 

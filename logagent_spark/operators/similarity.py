@@ -408,7 +408,7 @@ def knn_join(
 
     out_schema = T.StructType([
         T.StructField("query_id", T.LongType()),
-        T.StructField(id_col, T.LongType()),
+        T.StructField(id_col, df.schema[id_col].dataType),
         T.StructField("cos_ppm", T.LongType()),
     ])
 
