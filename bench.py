@@ -738,6 +738,88 @@ def knn_ivf_large_q(
     }
 
 
+def census_prefilter_crossover(spark) -> dict:
+    """The census prefilter's predicted win, demonstrated (VERDICT r4
+    #3): a boilerplate-heavy corpus — unique pseudo-random prose per
+    doc plus one 14-token license block shared by EVERY doc, the
+    workload SURVEY §2.8 names — materialized to parquet (a real
+    corpus is read, not re-generated per pass), then the exact census
+    vs the auto-sized counting-bucket prefilter, interleaved A/B twice
+    inside one session (CLAUDE.md: cross-invocation comparisons are
+    invalid), reporting wall-clock AND shuffled bytes. Sized ~1.5M docs
+    at sf0.1 (~88M windows): big enough that the exact twin's fat
+    md5+id shuffle (~5.4 GB) is real, the regime the prefilter exists
+    for. Caches are dropped and checkpoints GC'd between rounds — the
+    prefilter's localCheckpoint blocks otherwise accumulate and
+    manufacture memory pressure for later rounds."""
+    import gc
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from logagent_spark.operators.textstats import duplicated_window_stats
+    from logagent_spark.plans.metrics import shuffle_write_bytes
+
+    n_docs, prose = max(100_000, int(15_000_000 * _sf_value())), 50
+    path = f"/tmp/la_census_boiler_{n_docs}"
+    if not os.path.exists(path):
+        lic = ("licensed under creative commons attribution share alike "
+               "four point zero international public license")
+        spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(prose)),
+                        lambda j: F.substring(
+                            F.md5(F.concat(F.col("id").cast("string"),
+                                           F.lit("_"), j.cast("string"))),
+                            1, 8),
+                    ),
+                    " ",
+                ),
+                F.lit(" " + lic),
+            ).alias("text"),
+        ).repartition(32).write.mode("overwrite").parquet(path + ".tmp")
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(path + ".tmp", path)
+    docs = spark.read.parquet(path)
+
+    def run(**kw):
+        t0 = time.monotonic()
+        agg = duplicated_window_stats(docs, "doc_id", "text", w=5, **kw).agg(
+            F.sum("n_dup_windows").alias("d"), F.sum("n_windows").alias("n"))
+        row = agg.collect()[0]
+        sec = time.monotonic() - t0
+        sb = shuffle_write_bytes(agg)
+        del agg
+        spark.catalog.clearCache()
+        gc.collect()  # frees prior localCheckpoint blocks via ContextCleaner
+        return sec, sb, (row["d"], row["n"])
+
+    ex, pre = [], []
+    for _ in range(2):
+        ex.append(run())
+        pre.append(run(prefilter_buckets="auto"))
+    assert ex[0][2] == pre[0][2] == ex[1][2] == pre[1][2], (ex, pre)
+    ex_sec = min(s for s, _, _ in ex)
+    pre_sec = min(s for s, _, _ in pre)
+    return {
+        "n_docs": n_docs,
+        "total_windows": ex[0][2][1],
+        "dup_windows": ex[0][2][0],
+        "exact_sec": round(ex_sec, 2),
+        "prefilter_sec": round(pre_sec, 2),
+        "exact_shuffle_mb": round(ex[0][1] / 1e6, 1),
+        "prefilter_shuffle_mb": round(pre[0][1] / 1e6, 1),
+        "crossover_flipped": pre_sec < ex_sec,
+        "pairs": [
+            {"exact_sec": round(e[0], 2), "prefilter_sec": round(p[0], 2)}
+            for e, p in zip(ex, pre)
+        ],
+    }
+
+
 def _lsh_planted_regime(spark) -> dict:
     """Production-regime evidence: the driver corpus has no cos>=0.9
     pairs (its 0.4-threshold gate stresses the WORST case for hyperplane
@@ -844,6 +926,7 @@ def main() -> None:
     recall = lsh_recall(spark)
     scale100k = lsh_scale_100k(spark, pages)
     largeq = knn_ivf_large_q(spark, pages)
+    census = census_prefilter_crossover(spark)
     spark.stop()
 
     # persist PAIRS across invocations (marker "paired": each entry is
@@ -894,6 +977,7 @@ def main() -> None:
         "lsh": recall,
         "lsh_scale_100k": scale100k,
         "knn_ivf_large_q": largeq,
+        "census_prefilter": census,
         "grok_udf_tax": round(
             queries["parse_grok_udf"] / queries["parse_native"], 2
         ),
@@ -1055,7 +1139,26 @@ def main() -> None:
                 f"{v['topk_recall']} ({v['sec']}s)"
                 for npk, v in largeq["recall_sweep"].items()
             )
-            + ".\n"
+            + ".\n\n"
+            "Census prefilter crossover (boilerplate-heavy corpus, the "
+            "workload the counting-bucket pass exists for: "
+            f"{census['n_docs']:,} docs, every one sharing a 14-token "
+            f"license block; {census['total_windows']:,} windows of "
+            f"which {census['dup_windows']:,} are corpus-wide repeats): "
+            f"exact census {census['exact_sec']}s moving "
+            f"{census['exact_shuffle_mb']} MB of shuffle vs auto-sized "
+            f"prefilter {census['prefilter_sec']}s moving "
+            f"{census['prefilter_shuffle_mb']} MB — crossover "
+            f"{'FLIPPED' if census['crossover_flipped'] else 'NOT flipped'}"
+            " (interleaved A/B pairs: "
+            + ", ".join(
+                f"{p['exact_sec']}s/{p['prefilter_sec']}s"
+                for p in census["pairs"]
+            )
+            + "). The bucket pass hashes the RAW shingle so md5 runs on "
+            "survivors only; survivors localCheckpoint once (bounded by "
+            "candidate volume). At 10^9+ docs the byte ratio is the "
+            "whole story: the fat shuffle is network, not page cache.\n"
         )
 
 

@@ -219,35 +219,84 @@ def with_text_stats(
     )
 
 
+def estimate_total_windows(
+    df: DataFrame, text_col: str, w: int, sample_frac: float = 0.01
+) -> int:
+    """Cheap corpus window-count estimate for prefilter auto-sizing:
+    row count x mean windows-per-doc over a sample (>= ~2000 docs or
+    the whole corpus if smaller). Two narrow jobs, no explode, no full
+    shingle pass — W only needs to be right within a small factor, the
+    fp rate scales linearly with the estimate error."""
+    n = df.count()
+    if n == 0:
+        return 0
+    frac = min(1.0, max(sample_frac, 2000.0 / n))
+    avg = (
+        df.sample(frac, seed=7)
+        .agg(F.avg(
+            F.greatest(F.size(shingles(F.col(text_col), w)), F.lit(0))
+        ))
+        .first()[0]
+    )
+    return int(n * (avg or 0.0))
+
+
+def suggest_prefilter_buckets(
+    n_windows: int, fp_rate: float = 0.02
+) -> int:
+    """Bucket-table size W for the counting-bucket prefilter: a
+    singleton window lands in a hot bucket when any of the other ~T
+    windows shares its bucket, p ~ T/W, so W = T / fp_rate — the
+    "W ~ 50x T" rule at the 2% default, now code instead of a
+    docstring. The floor keeps tiny corpora off degenerate moduli."""
+    if fp_rate <= 0:
+        raise ValueError("fp_rate must be positive")
+    return max(1024, int(n_windows / fp_rate))
+
+
 def _dup_window_occurrences(
     occ: DataFrame,
     *,
-    prefilter_buckets: int | None = None,
+    prefilter_buckets: "int | str | None" = None,
     broadcast_hot: bool = True,
 ) -> DataFrame:
-    """Occurrence rows (any cols + window key `_w`) -> the subset whose
-    window occurs >= 2 times corpus-wide, with the exact count `_n`.
+    """Occurrence rows (any cols + raw window string `_s`) -> the subset
+    whose window occurs >= 2 times corpus-wide, with the md5 window key
+    `_w` and the exact count `_n` (`_s` is consumed).
 
     Without a prefilter this is the honest exact census: one groupBy on
-    the md5 window key + one join, both shuffling O(total windows) of
+    the md5 window key + one join-back, shuffling O(total windows) of
     md5+id rows. With `prefilter_buckets=W`, a counting-bucket pass runs
-    first: every window folds to `pmod(xxhash64(_w), W)`, bucket counts
-    aggregate with map-side combine (the shuffle is ONE LONG per
-    distinct bucket per partition — radically narrower than md5+id
-    rows), and only windows in buckets with count >= 2 proceed to the
-    wide exact census. All occurrences of a window share a bucket, so
-    the survivor set is a SUPERSET of true repeats (bucket collisions
-    only add false positives) and the exact counts computed on
-    survivors equal the true corpus counts — the prefilter is lossless.
+    first: every window folds to `pmod(xxhash64(_s), W)` — the RAW
+    string hashes once, no md5 — bucket counts aggregate with map-side
+    combine (the shuffle is ONE LONG per distinct bucket per partition,
+    radically narrower than md5+id rows), and only windows in buckets
+    with count >= 2 proceed to the wide exact census, so the md5 is
+    computed for survivors only. All occurrences of a window share a
+    bucket, so the survivor set is a SUPERSET of true repeats (bucket
+    collisions only add false positives) and the exact counts computed
+    on survivors equal the true corpus counts — the prefilter is
+    lossless. Survivors are materialized ONCE (localCheckpoint): the
+    count aggregate and the count join would otherwise each re-derive
+    the full shingle explode — measured as what kept the prefilter
+    slower than the exact twin at sf0.1 despite moving ~20x fewer
+    bytes. The materialization is bounded by the candidate volume, the
+    same argument that makes the wide census cheap; the UNFILTERED path
+    deliberately does not materialize (O(total windows) storage).
 
     Sizing: a singleton window survives with p ~ T/W (T total windows),
     so W ~ 50x the corpus window count keeps false positives ~2%; the
-    hot-bucket set is ~(true repeats + T^2/2W collisions) longs. Leave
-    `broadcast_hot` on while that fits the broadcast budget (it is ids
-    only); at extreme T switch it off for a shuffle join on the bucket
-    key, or shard the corpus and union per-shard survivors."""
+    hot-bucket set is ~(true repeats + T^2/2W collisions) longs. Pass
+    ``prefilter_buckets="auto"`` to derive W from the measured corpus
+    window count (one narrow count action over the occurrence set, then
+    `suggest_prefilter_buckets`). Leave `broadcast_hot` on while the
+    hot set fits the broadcast budget (it is longs only); at extreme T
+    switch it off for a shuffle join on the bucket key, or shard the
+    corpus and union per-shard survivors."""
+    if prefilter_buckets == "auto":
+        prefilter_buckets = suggest_prefilter_buckets(occ.count())
     if prefilter_buckets:
-        b = F.pmod(F.xxhash64("_w"), F.lit(prefilter_buckets))
+        b = F.pmod(F.xxhash64("_s"), F.lit(prefilter_buckets))
         hot = (
             occ.select(b.alias("_b"))
             .groupBy("_b")
@@ -257,7 +306,13 @@ def _dup_window_occurrences(
         )
         if broadcast_hot:
             hot = F.broadcast(hot)
-        occ = occ.withColumn("_b", b).join(hot, "_b").drop("_b")
+        occ = (
+            occ.withColumn("_b", b).join(hot, "_b").drop("_b")
+            .withColumn("_w", F.md5("_s")).drop("_s")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        occ = occ.withColumn("_w", F.md5("_s")).drop("_s")
     counts = (
         occ.groupBy("_w")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -270,7 +325,7 @@ def duplicated_window_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     w: int = 5,
     *,
-    prefilter_buckets: int | None = None,
+    prefilter_buckets: "int | str | None" = None,
     broadcast_hot: bool = True,
 ) -> DataFrame:
     """Cross-document repeated-substring signal — the statistic behind
@@ -296,38 +351,40 @@ def duplicated_window_stats(
     shingle array length, never touching the census."""
     exploded = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), w)).alias("_s")
-    ).select(id_col, F.md5("_s").alias("_w"))
-    if prefilter_buckets:
-        dup = _dup_window_occurrences(
-            exploded,
-            prefilter_buckets=prefilter_buckets,
-            broadcast_hot=broadcast_hot,
+    )
+    if prefilter_buckets == "auto":
+        # resolve here, where the doc frame is in hand: the sample
+        # estimator costs two narrow jobs instead of the full shingle
+        # pass _dup_window_occurrences would need
+        prefilter_buckets = suggest_prefilter_buckets(
+            estimate_total_windows(df, text_col, w)
         )
-        dups_per_doc = dup.groupBy(id_col).agg(
-            F.count(F.lit(1)).alias("n_dup_windows")
+    # ONE structure for both modes: dup occurrences (the exact mode's
+    # count table is FILTERED to repeats before the join, so the join
+    # build side is the dup-window set, not every distinct window — a
+    # 300k-doc boilerplate corpus OOM'd the old unfiltered-counts
+    # broadcast), per-doc dup counts, and scan-side n_windows from the
+    # shingle array length (never touching the census).
+    dup = _dup_window_occurrences(
+        exploded,
+        prefilter_buckets=prefilter_buckets,
+        broadcast_hot=broadcast_hot,
+    )
+    dups_per_doc = dup.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_windows")
+    )
+    per_doc = (
+        df.select(
+            F.col(id_col),
+            F.size(shingles(F.col(text_col), w)).alias("n_windows"),
         )
-        per_doc = (
-            df.select(
-                F.col(id_col),
-                F.size(shingles(F.col(text_col), w)).alias("n_windows"),
-            )
-            .filter(F.col("n_windows") >= 1)
-            .join(dups_per_doc, id_col, "left")
-            .withColumn(
-                "n_dup_windows",
-                F.coalesce(F.col("n_dup_windows"), F.lit(0)),
-            )
+        .filter(F.col("n_windows") >= 1)
+        .join(dups_per_doc, id_col, "left")
+        .withColumn(
+            "n_dup_windows",
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)),
         )
-    else:
-        counts = exploded.groupBy("_w").agg(F.count(F.lit(1)).alias("_n"))
-        per_doc = (
-            exploded.join(counts, "_w")
-            .groupBy(id_col)
-            .agg(
-                F.count(F.lit(1)).alias("n_windows"),
-                F.sum((F.col("_n") >= 2).cast("long")).alias("n_dup_windows"),
-            )
-        )
+    )
     return per_doc.select(
         id_col, "n_windows", "n_dup_windows",
         F.floor(F.col("n_dup_windows") * 1000000 / F.col("n_windows"))
@@ -339,7 +396,7 @@ def excise_duplicated_windows(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     w: int = 5,
     *,
-    prefilter_buckets: int | None = None,
+    prefilter_buckets: "int | str | None" = None,
     broadcast_hot: bool = True,
 ) -> DataFrame:
     """Substring-level dedup, the cleaning step behind
@@ -360,9 +417,12 @@ def excise_duplicated_windows(
     sh = shingles(F.col(text_col), w)
     win_pos = (
         df.select(F.col(id_col), F.posexplode(sh).alias("_p0", "_s"))
-        .select(id_col, (F.col("_p0") + 1).alias("_p"),
-                F.md5("_s").alias("_w"))
+        .select(id_col, (F.col("_p0") + 1).alias("_p"), "_s")
     )
+    if prefilter_buckets == "auto":
+        prefilter_buckets = suggest_prefilter_buckets(
+            estimate_total_windows(df, text_col, w)
+        )
     dup_cover = (
         _dup_window_occurrences(
             win_pos,

@@ -217,11 +217,12 @@ def test_prefilter_bounds_census_volume(spark):
     df = _census_fixture(spark)
     occ = df.select(
         F.col("doc_id"), F.explode(shingles(F.col("text"), 5)).alias("_s")
-    ).select("doc_id", F.md5("_s").alias("_w"))
+    )
     total = occ.count()
 
-    # survivors of the bucket pass alone (before the exact count):
-    b = F.pmod(F.xxhash64("_w"), F.lit(1 << 20))
+    # survivors of the bucket pass alone (before the exact count);
+    # bucket ids hash the RAW shingle so the md5 only runs on survivors
+    b = F.pmod(F.xxhash64("_s"), F.lit(1 << 20))
     hot = (occ.select(b.alias("_b")).groupBy("_b")
            .agg(F.count(F.lit(1)).alias("_bn"))
            .filter(F.col("_bn") >= 2).select("_b"))
@@ -246,10 +247,88 @@ def test_prefilter_bucket_pass_plan_shape(spark):
     df = _census_fixture(spark, n_unique=50)
     occ = df.select(
         F.col("doc_id"), F.explode(shingles(F.col("text"), 5)).alias("_s")
-    ).select("doc_id", F.md5("_s").alias("_w"))
-    b = F.pmod(F.xxhash64("_w"), F.lit(1 << 20))
+    )
+    b = F.pmod(F.xxhash64("_s"), F.lit(1 << 20))
     hot = (occ.select(b.alias("_b")).groupBy("_b")
            .agg(F.count(F.lit(1)).alias("_bn"))
            .filter(F.col("_bn") >= 2).select("_b"))
     plan = hot._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_suggest_prefilter_buckets():
+    import pytest
+
+    from logagent_spark.operators.textstats import suggest_prefilter_buckets
+
+    assert suggest_prefilter_buckets(1_000_000) == 50_000_000  # W = T/0.02
+    assert suggest_prefilter_buckets(1_000_000, fp_rate=0.1) == 10_000_000
+    assert suggest_prefilter_buckets(10) == 1024               # floor
+    assert suggest_prefilter_buckets(0) == 1024
+    with pytest.raises(ValueError):
+        suggest_prefilter_buckets(100, fp_rate=0)
+
+
+def test_prefilter_auto_sizing_matches_exact(spark):
+    """prefilter_buckets='auto' derives W from the measured corpus
+    window count; results must equal the unfiltered exact census."""
+    from logagent_spark.operators.textstats import duplicated_window_stats
+
+    df = _census_fixture(spark)
+    exact = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+             for r in duplicated_window_stats(df, "doc_id", "text",
+                                              w=5).collect()}
+    auto = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+            for r in duplicated_window_stats(
+                df, "doc_id", "text", w=5,
+                prefilter_buckets="auto").collect()}
+    assert auto == exact
+
+
+def _boilerplate_docs(spark, n_docs, prose_tokens=40):
+    """Unique pseudo-random prose per doc + one license block shared by
+    ALL docs — the workload the counting-bucket prefilter exists for
+    (SURVEY §2.8: boilerplate recurs verbatim while documents differ)."""
+    lic = ("licensed under creative commons attribution share alike "
+           "four point zero international public license")
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(prose_tokens)),
+                    lambda j: F.substring(
+                        F.md5(F.concat(F.col("id").cast("string"),
+                                       F.lit("_"), j.cast("string"))),
+                        1, 8),
+                ),
+                " ",
+            ),
+            F.lit(" " + lic),
+        ).alias("text"),
+    )
+
+
+def test_prefilter_shuffles_fewer_bytes_on_boilerplate(spark):
+    """The measured claim behind the prefilter (VERDICT r4 #3): on a
+    boilerplate-heavy corpus the prefiltered census MOVES fewer shuffle
+    bytes than the exact twin — the skinny long-keyed bucket pass plus
+    a census over only the ~license windows undercuts shuffling every
+    md5+id occurrence row twice."""
+    from logagent_spark.operators.textstats import duplicated_window_stats
+    from logagent_spark.plans.metrics import shuffle_write_bytes
+
+    df = _boilerplate_docs(spark, 3000)
+
+    def run(**kw):
+        agg = duplicated_window_stats(df, "doc_id", "text", w=5, **kw).agg(
+            F.sum("n_dup_windows").alias("d"), F.sum("n_windows").alias("n")
+        )
+        row = agg.collect()[0]
+        return row, shuffle_write_bytes(agg)
+
+    exact_row, exact_bytes = run()
+    pre_row, pre_bytes = run(prefilter_buckets="auto")
+    assert (pre_row["d"], pre_row["n"]) == (exact_row["d"], exact_row["n"])
+    assert pre_row["d"] > 0
+    assert pre_bytes < exact_bytes * 0.6, (pre_bytes, exact_bytes)
