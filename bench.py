@@ -129,6 +129,14 @@ def run_pipeline_once(spark, pages_path: str, out_dir: str) -> dict:
     t0 = time.monotonic()
     res = pipe.transform(df)
     out = pipe.multiplexed(res, keep=["url", "lang", "warc_ts"])
+    # 2 tasks per core (coalesce, no shuffle): the scan's 96 input
+    # splits otherwise become 96 write tasks x n_sinks parquet files,
+    # and the per-task commit + per-file writer overhead is the
+    # parallelism-independent floor the scaling ratio pays for twice.
+    # 2 waves keeps straggler headroom (1 wave measured worse at
+    # local[8]); measured interleaved at both levels: 5.42s/19.01s vs
+    # 5.97s/19.22s base -> efficiency 0.877 vs 0.805 in the same window.
+    out = out.coalesce(2 * spark.sparkContext.defaultParallelism)
     out.write.mode("overwrite").partitionBy(SINK_COL).parquet(out_dir)
     write_s = time.monotonic() - t0
     t1 = time.monotonic()
