@@ -9,13 +9,16 @@ text per url. This module is that extraction as pure Column expressions
 
   * drop <script>/<style> subtrees (their text is not page text);
   * strip tags;
-  * decode entities: the named basic set (`amp lt gt quot apos`) plus
-    numeric character references (`&#NN;` decimal / `&#xNN;` hex, full
-    Unicode range incl. surrogate-pair codepoints, HTML5 U+FFFD
-    replacement for invalid codepoints) — named-only rows take an
-    amp-LAST literal-replace chain (the exact inverse of escape order,
-    so escape -> extract round-trips byte-identically), '&#'-bearing
-    rows take a single-pass split/decode/stitch (`decode_entities`);
+  * decode entities: the named basic set (`amp lt gt quot apos`), the
+    ~100 common extended names (NAMED_ENTITIES: typography, currency,
+    signs, Latin-1 letters), and numeric character references
+    (`&#NN;` decimal / `&#xNN;` hex, full Unicode range incl.
+    surrogate-pair codepoints, HTML5 U+FFFD replacement for invalid
+    codepoints) — basic-named-only rows take an amp-LAST
+    literal-replace chain (the exact inverse of escape order, so
+    escape -> extract round-trips byte-identically), rows with numeric
+    or extended refs take a single-pass split/decode/stitch
+    (`decode_entities`);
   * whitespace is preserved verbatim — collapsing would break the
     byte-identity invariant.
 
@@ -31,13 +34,54 @@ from pyspark.sql import functions as F
 
 __all__ = ["escape_html_text", "html_to_text", "extract_text_from_html"]
 
-# one entity reference: named basic set OR numeric (decimal / hex),
-# semicolon-terminated (unterminated legacy forms are out of scope).
-# The '&' prefix is shared by construction; digit bounds keep the
+# Extended named entities (HTML5 names -> codepoints), the common set
+# beyond the five basic ones: typography, currency, signs, Latin-1
+# letters. Lowercase, semicolon-terminated scope (case variants and
+# legacy unterminated forms stay literal, documented).
+NAMED_ENTITIES = {
+    "nbsp": 0xA0, "iexcl": 0xA1, "cent": 0xA2, "pound": 0xA3,
+    "curren": 0xA4, "yen": 0xA5, "brvbar": 0xA6, "sect": 0xA7,
+    "uml": 0xA8, "copy": 0xA9, "ordf": 0xAA, "laquo": 0xAB,
+    "not": 0xAC, "shy": 0xAD, "reg": 0xAE, "macr": 0xAF,
+    "deg": 0xB0, "plusmn": 0xB1, "sup2": 0xB2, "sup3": 0xB3,
+    "acute": 0xB4, "micro": 0xB5, "para": 0xB6, "middot": 0xB7,
+    "cedil": 0xB8, "sup1": 0xB9, "ordm": 0xBA, "raquo": 0xBB,
+    "frac14": 0xBC, "frac12": 0xBD, "frac34": 0xBE, "iquest": 0xBF,
+    "agrave": 0xE0, "aacute": 0xE1, "acirc": 0xE2, "atilde": 0xE3,
+    "auml": 0xE4, "aring": 0xE5, "aelig": 0xE6, "ccedil": 0xE7,
+    "egrave": 0xE8, "eacute": 0xE9, "ecirc": 0xEA, "euml": 0xEB,
+    "igrave": 0xEC, "iacute": 0xED, "icirc": 0xEE, "iuml": 0xEF,
+    "eth": 0xF0, "ntilde": 0xF1, "ograve": 0xF2, "oacute": 0xF3,
+    "ocirc": 0xF4, "otilde": 0xF5, "ouml": 0xF6, "divide": 0xF7,
+    "oslash": 0xF8, "ugrave": 0xF9, "uacute": 0xFA, "ucirc": 0xFB,
+    "uuml": 0xFC, "yacute": 0xFD, "thorn": 0xFE, "yuml": 0xFF,
+    "szlig": 0xDF, "times": 0xD7,
+    "oelig": 0x153, "scaron": 0x161, "fnof": 0x192,
+    "ndash": 0x2013, "mdash": 0x2014, "lsquo": 0x2018, "rsquo": 0x2019,
+    "sbquo": 0x201A, "ldquo": 0x201C, "rdquo": 0x201D, "bdquo": 0x201E,
+    "dagger": 0x2020, "bull": 0x2022, "hellip": 0x2026, "permil": 0x2030,
+    "prime": 0x2032, "lsaquo": 0x2039, "rsaquo": 0x203A, "euro": 0x20AC,
+    "trade": 0x2122, "minus": 0x2212, "infin": 0x221E, "ne": 0x2260,
+    "le": 0x2264, "ge": 0x2265, "larr": 0x2190, "uarr": 0x2191,
+    "rarr": 0x2192, "darr": 0x2193, "harr": 0x2194,
+}
+
+# one entity reference: named (basic five + extended set) OR numeric
+# (decimal / hex), semicolon-terminated (unterminated legacy forms are
+# out of scope). The '&' prefix is shared by construction; the trailing
+# ';' in the pattern makes alternation-order irrelevant (a prefix name
+# that leaves the ';' unmatched backtracks); digit bounds keep the
 # codepoint parse in long range.
-_ENT_BODY = r"(?:amp|lt|gt|quot|apos|#(?:[xX][0-9a-fA-F]{1,6}|[0-9]{1,7}))"
+_EXT_ALT = "|".join(sorted(NAMED_ENTITIES, key=len, reverse=True))
+_ENT_BODY = (
+    r"(?:amp|lt|gt|quot|apos|" + _EXT_ALT +
+    r"|#(?:[xX][0-9a-fA-F]{1,6}|[0-9]{1,7}))"
+)
 _ENT_SPLIT = rf"&{_ENT_BODY};"
 _ENT_EXTRACT = rf"&({_ENT_BODY});"
+# cheap routing gate for html_to_text: rows whose entities the literal
+# chain can't decode (numeric or extended named) take the single pass
+_NEEDS_SINGLE_PASS = rf"&(?:{_EXT_ALT}|#[xX0-9])"
 
 
 def _codepoint_char(body: Column) -> Column:
@@ -73,15 +117,26 @@ def _codepoint_char(body: Column) -> Column:
     )
 
 
+def _named_entity_map() -> Column:
+    """Map literal: entity name -> decoded character (basic five +
+    extended set). Built once per query; lookup is one map probe per
+    entity, not a 100-branch when-chain."""
+    pairs: list = []
+    for name, ch in (("amp", "&"), ("lt", "<"), ("gt", ">"),
+                     ("quot", '"'), ("apos", "'")):
+        pairs += [F.lit(name), F.lit(ch)]
+    for name, cp in NAMED_ENTITIES.items():
+        pairs += [F.lit(name), F.lit(chr(cp))]
+    return F.create_map(*pairs)
+
+
 def _entity_char(body: Column) -> Column:
-    """Entity body (no '&'/';') -> decoded character."""
+    """Entity body (no '&'/';') -> decoded character. Named refs probe
+    the map literal; numeric refs compute the codepoint. The regex only
+    admits listed names, so the map probe cannot miss."""
     return (
-        F.when(body == "amp", F.lit("&"))
-        .when(body == "lt", F.lit("<"))
-        .when(body == "gt", F.lit(">"))
-        .when(body == "quot", F.lit('"'))
-        .when(body == "apos", F.lit("'"))
-        .otherwise(_codepoint_char(body))
+        F.when(body.startswith("#"), _codepoint_char(body))
+        .otherwise(F.element_at(_named_entity_map(), body))
     )
 
 
@@ -154,9 +209,10 @@ def html_to_text(col: Column) -> Column:
     c = F.replace(c, F.lit("&quot;"), F.lit('"'))
     c = F.replace(c, F.lit("&apos;"), F.lit("'"))
     chained = F.replace(c, F.lit("&amp;"), F.lit("&"))
-    # rows carrying a numeric reference ('&#NN;' / '&#xNN;') take the
-    # single-pass decoder (the chain can't express them, and only a
-    # single pass decodes '&#38;amp;'-style nesting correctly); the
+    # rows carrying a numeric reference ('&#NN;' / '&#xNN;') or an
+    # extended named entity take the single-pass decoder (the chain
+    # can't express them, and only a single pass decodes
+    # '&#38;amp;'-style nesting correctly); the
     # amp-LAST literal chain is single-pass-equivalent for named-only
     # rows (no produced char except amp's '&' can re-form an entity,
     # and amp runs last) and ~10x cheaper (measured, 1M x 1KB rows with
@@ -164,7 +220,7 @@ def html_to_text(col: Column) -> Column:
     # but wrong on '&#38;amp;' nesting and numeric-only, single-pass
     # 11.4s; gated html_to_text on named-only rows stays at 1.6s).
     decoded = F.when(
-        stripped.contains("&#"), decode_entities(stripped)
+        stripped.rlike(_NEEDS_SINGLE_PASS), decode_entities(stripped)
     ).otherwise(chained)
     return F.when(stripped.contains("&"), decoded).otherwise(stripped)
 

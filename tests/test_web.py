@@ -220,3 +220,36 @@ def test_entity_decode_matches_html_unescape(spark):
            df.select("h", html_to_text(F.col("h")).alias("t")).collect()}
     for h, t in got.items():
         assert t == pyhtml.unescape(h), (h, t, pyhtml.unescape(h))
+
+
+def test_extended_named_entities(spark):
+    """The common HTML5 named set beyond the basic five decodes via the
+    single-pass path; mixed pages agree with html.unescape."""
+    import html as pyhtml
+
+    from logagent_spark.operators.web import NAMED_ENTITIES
+
+    rows = [
+        ("&nbsp;&copy;&reg;&trade;", "\xa0\xa9\xae™"),
+        ("caf&eacute; — &mdash; &hellip; &euro;100", None),
+        ("&laquo;quote&raquo; &ndash; 3&times;4&divide;2", None),
+        ("x &le; y &ne; z &rarr; w", None),
+        ("&amp;nbsp; stays literal", "&nbsp; stays literal"),
+        ("&NBSP; unknown case stays", "&NBSP; unknown case stays"),
+        ("&nbsp no semicolon stays", "&nbsp no semicolon stays"),
+        # mixed basic + extended + numeric in one row, single pass
+        ("&lt;&nbsp;&#65;&amp;", "<\xa0A&"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], "h string")
+    got = {r["h"]: r["t"] for r in
+           df.select("h", html_to_text(F.col("h")).alias("t")).collect()}
+    for h, want in rows:
+        expect = want if want is not None else pyhtml.unescape(h)
+        assert got[h] == expect, (h, got[h], expect)
+    # every entry in the table round-trips against the stdlib oracle
+    ents = [(f"x &{n}; y",) for n in NAMED_ENTITIES]
+    df2 = spark.createDataFrame(ents, "h string")
+    got2 = {r["h"]: r["t"] for r in
+            df2.select("h", html_to_text(F.col("h")).alias("t")).collect()}
+    for (h,) in ents:
+        assert got2[h] == pyhtml.unescape(h), (h, got2[h])
