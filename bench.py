@@ -226,6 +226,7 @@ def stage_breakdown(spark, pages_path: str) -> "tuple[dict, dict]":
     ).frame.count()
 
     noise: dict = {}
+    hist = _hist_operator_minima()
 
     def timed(name: str, fn, runs: int = 2) -> None:
         times = []
@@ -249,7 +250,12 @@ def stage_breakdown(spark, pages_path: str) -> "tuple[dict, dict]":
             "runs": [round(x, 3) for x in times],
             "spread_frac": round(d_frac, 3),
             "noise_suspect": d_frac > 0.5 and d_abs > 0.5,
-            "regressed_vs_best": False,
+            # same >1.5x-vs-history flag as operator_queries rows — r5b
+            # showed a burst-inflated grok row sailing through unflagged
+            # because stage rows hardcoded False here
+            "regressed_vs_best": bool(
+                name in hist and min(times) > 1.5 * hist[name]
+            ),
         }
 
     # html:binary -> text extraction (north-star input shape) at full
@@ -964,10 +970,15 @@ def main() -> None:
                 "efficiency": round(p["efficiency"], 3),
                 "suspect": p["suspect"],
             }) + "\n")
-        # operator rows feed the next invocation's regression baseline
+        # operator AND stage rows feed the next invocation's regression
+        # baseline (stage rows previously never entered history, so
+        # their >1.5x flag could not fire)
         f.write(json.dumps({
             "ts": time.time(), "sf": _sf_value(), "cpus": CPUS,
-            "operators": {k: round(v, 3) for k, v in op_times.items()},
+            "operators": {
+                k: round(v, 3)
+                for k, v in {**stage_times, **op_times}.items()
+            },
             "operators_noise": op_noise,
         }) + "\n")
     best_hist = {"hi_sec": t_hi["pipeline_sec"],
