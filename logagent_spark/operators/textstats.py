@@ -364,7 +364,11 @@ def duplicated_window_stats(
     # build side is the dup-window set, not every distinct window — a
     # 300k-doc boilerplate corpus OOM'd the old unfiltered-counts
     # broadcast), per-doc dup counts, and scan-side n_windows from the
-    # shingle array length (never touching the census).
+    # shingle array length (never touching the census). Measured cost of
+    # the robustness: the exact mode runs 3 shingle passes instead of 2
+    # (bench text_dup_windows_exact 2.4s -> 3.9s at sf0.1) — accepted,
+    # because the 2-pass form only worked by broadcasting a count table
+    # whose size is O(distinct windows).
     dup = _dup_window_occurrences(
         exploded,
         prefilter_buckets=prefilter_buckets,

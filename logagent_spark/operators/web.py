@@ -79,8 +79,11 @@ _ENT_BODY = (
 )
 _ENT_SPLIT = rf"&{_ENT_BODY};"
 _ENT_EXTRACT = rf"&({_ENT_BODY});"
-# cheap routing gate for html_to_text: rows whose entities the literal
-# chain can't decode (numeric or extended named) take the single pass
+# routing gate for html_to_text: rows whose entities the literal
+# chain can't decode (numeric or extended named) take the single pass.
+# The rlike is one regex scan over '&'-bearing rows — measured ~3us per
+# KB-scale doc (bench html_extract_text 0.12s -> 0.29s per 60k docs),
+# the price of full-scope decoding; '&'-free rows never reach it.
 _NEEDS_SINGLE_PASS = rf"&(?:{_EXT_ALT}|#[xX0-9])"
 
 
