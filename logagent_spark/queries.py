@@ -1522,12 +1522,12 @@ def q_text_dup_windows(spark, sf_dir):
     oracle unnests the same shingle lists (NO list_distinct — a
     within-doc repeat is a duplicate) and replays the census in SQL.
     Runs through the counting-bucket PREFILTER (the 10^12-doc scale
-    path): the wide md5 census touches only windows whose skinny bucket
-    count is >= 2 — lossless, so the exact-census oracle still gates
-    it."""
+    path) with AUTO sizing — the sample-estimator + W=T/0.02 rule is
+    exactly what a 10^12-doc job would use, and it is lossless, so the
+    exact-census oracle still gates it."""
     docs = _t(spark, sf_dir, "documents")
     return ts.duplicated_window_stats(
-        docs, "doc_id", "text", w=5, prefilter_buckets=1 << 20
+        docs, "doc_id", "text", w=5, prefilter_buckets="auto"
     )
 
 
@@ -1564,10 +1564,11 @@ def q_text_excise_windows(spark, sf_dir):
     window occurring >= 2 times corpus-wide is excised; the oracle
     rebuilds each cleaned text with the same census + position joins in
     SQL, so the returned strings must match byte-for-byte. Runs through
-    the counting-bucket prefilter (lossless — see text_dup_windows)."""
+    the counting-bucket prefilter with AUTO sizing (lossless — see
+    text_dup_windows)."""
     docs = _t(spark, sf_dir, "documents")
     return ts.excise_duplicated_windows(
-        docs, "doc_id", "text", w=5, prefilter_buckets=1 << 20
+        docs, "doc_id", "text", w=5, prefilter_buckets="auto"
     )
 
 
