@@ -353,8 +353,20 @@ class CompiledPipeline:
 
         cache: persist + one filtered write per sink (the reference's
         handler loop shape) — kept for benchmarking the strategies.
+
+        The multiplex write coalesces to 2 tasks per core (no shuffle):
+        one task per scan split means one commit + one parquet file per
+        task per sink, and that per-task/per-file overhead is a
+        parallelism-independent floor the scaling ratio pays at every
+        cluster size (measured at local[32]/local[8]: efficiency 0.877
+        vs 0.805 in one interleaved window; one wave has no straggler
+        headroom and measured worse).
         """
         if strategy == "multiplex":
+            spark = routed.sparkSession
+            routed = routed.coalesce(
+                2 * spark.sparkContext.defaultParallelism
+            )
             routed.write.mode(mode).partitionBy(SINK_COL).parquet(out_dir)
             return
         if strategy == "cache":
