@@ -241,6 +241,14 @@ def rate_limited_batch_chunked(
     (each chunk costs a sequential Spark job; paying 8 of them on a
     10k-row input was pure fixed cost).
 
+    The inter-chunk state never touches the driver: it lives as a keyed
+    DataFrame ``(key, fill, last_us)`` cogrouped into the next chunk's
+    ``applyInPandas`` (keys absent from a chunk keep their row via a
+    left-anti carry-over), ``localCheckpoint``-ed per chunk to truncate
+    lineage. At 10^7-10^8 distinct keys the state is just a skinny
+    distributed table — no O(keys) dict in the driver or in task
+    closures.
+
     Identical output to `rate_limited_batch` (the simulation core is
     resumable by construction — the streaming operator already relies on
     that across micro-batches)."""
@@ -252,6 +260,8 @@ def rate_limited_batch_chunked(
            T.StructField("last_us", T.LongType())]
     )
     sort_cols = order_cols or [ts_col]
+    key_field = next(f for f in df.schema.fields if f.name == key_col)
+    state_schema = T.StructType([key_field, *_STATE_SCHEMA.fields])
 
     # global event-time chunk boundaries (approx quantiles are fine: the
     # split only balances work, never changes results). NTZ timestamps
@@ -271,29 +281,41 @@ def rate_limited_batch_chunked(
         if num_chunks > 1 else []
     )
 
-    def run_chunk(chunk_df: DataFrame, states: dict):
-        def func(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values(sort_cols, kind="stable", ignore_index=True)
-            fill, last = states.get(key[0], (0.0, None))
-            admitted, fill, last = _simulate_with_nulls(
-                pdf, ts_col, size, leak_interval_s, fill, last
-            )
-            out = pdf[cols].copy()
-            out["admitted"] = admitted
-            # every row carries the chunk-final state so the driver can
-            # read it back with one first() per key; last_us stays NULL
-            # for keys that have only NULL-ts rows so far
-            out["fill"] = fill
-            out["last_us"] = last
-            return out
+    def func(key, pdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="stable", ignore_index=True)
+        if len(spdf):
+            fill = float(spdf["fill"].iloc[0])
+            lu = spdf["last_us"].iloc[0]
+            last = None if pd.isna(lu) else int(lu)
+        else:
+            fill, last = 0.0, None
+        admitted, fill, last = _simulate_with_nulls(
+            pdf, ts_col, size, leak_interval_s, fill, last
+        )
+        out = pdf[cols].copy()
+        out["admitted"] = admitted
+        # every row carries the chunk-final state so the next chunk's
+        # state frame is one first() per key; last_us stays NULL for
+        # keys that have only NULL-ts rows so far. A key with zero rows
+        # this chunk emits zero rows here and keeps its state via the
+        # left-anti carry below.
+        out["fill"] = fill
+        out["last_us"] = last
+        return out
 
-        return chunk_df.select(*cols).groupBy(key_col).applyInPandas(
-            func, out_plus_state
+    def run_chunk(chunk_df: DataFrame, state_df: DataFrame) -> DataFrame:
+        return (
+            chunk_df.select(*cols).groupBy(key_col)
+            .cogroup(state_df.groupBy(key_col))
+            .applyInPandas(func, out_plus_state)
         )
 
     t = _t_sec(F.col(ts_col))
     pieces: list[DataFrame] = []
-    states: dict = {}  # key -> (fill, last_us); keys absent from a chunk keep theirs
+    # key -> (fill, last_us) as a DISTRIBUTED keyed frame, never a
+    # driver dict: O(distinct keys) must not grow the driver or the
+    # task closures (host/url keys reach 10^7+ at corpus scale)
+    state_df = df.sparkSession.createDataFrame([], state_schema)
     edges = [float("-inf"), *dict.fromkeys(bounds), float("inf")]
     first = True
     for lo, hi in zip(edges, edges[1:]):
@@ -303,15 +325,18 @@ def rate_limited_batch_chunked(
         # matching the unchunked twin
         chunk = df.filter(in_range | F.lit(first) & t.isNull())
         first = False
-        with_state = run_chunk(chunk, dict(states)).persist()
+        with_state = run_chunk(chunk, state_df).persist()
         pieces.append(with_state.select(*cols, "admitted"))
-        for r in (
-            with_state.groupBy(key_col)
-            .agg(F.first("fill").alias("fill"),
-                 F.first("last_us").alias("last_us"))
-            .collect()
-        ):
-            states[r[0]] = (r[1], r[2])
+        new_states = with_state.groupBy(key_col).agg(
+            F.first("fill").alias("fill"),
+            F.first("last_us").alias("last_us"),
+        )
+        carried = state_df.join(
+            new_states.select(key_col), key_col, "left_anti"
+        )
+        # eager localCheckpoint: materializes this chunk's state and
+        # truncates the per-chunk lineage (CLAUDE.md iterative-loop rule)
+        state_df = new_states.unionByName(carried).localCheckpoint(eager=True)
 
     out = pieces[0]
     for p in pieces[1:]:
