@@ -132,14 +132,14 @@ def streaming_dedup_exact(
             return
         pdf = pd.concat(list(pdf_iter), ignore_index=True)
         pdf = pdf.sort_values(sort_cols, kind="stable", ignore_index=True)
+        prev_last = state.get[1] if state.exists else None
         seen = state.exists and state.get[0]
         if seen and ttl_ms is not None:
             # in-band horizon check: hasTimedOut only fires for keys
             # WITHOUT data in the expiring batch, so a re-arrival in
             # that same batch would still see stale state — consult the
             # horizon directly against the current watermark
-            last = state.get[1]
-            if last is not None and state.getCurrentWatermarkMs() > last + ttl_ms:
+            if prev_last is not None and state.getCurrentWatermarkMs() > prev_last + ttl_ms:
                 seen = False
         is_dup = [True] * len(pdf)
         if not seen and len(pdf):
@@ -147,8 +147,12 @@ def streaming_dedup_exact(
         if ttl_ms is not None:
             # horizon runs from the LAST sighting; a timeout timestamp
             # at or below the current watermark is rejected by the
-            # engine, so clamp just above it
-            last_ms = int(pdf[ts_col].max().value // 1_000_000)
+            # engine, so clamp just above it. The anchor is MONOTONE:
+            # a late-but-valid duplicate (ts above watermark but below
+            # the stored last sighting) must not move last_ms backward
+            # and shrink the documented "last sighting + ttl" horizon
+            batch_max = int(pdf[ts_col].max().value // 1_000_000)
+            last_ms = batch_max if prev_last is None else max(prev_last, batch_max)
             state.update((True, last_ms))
             state.setTimeoutTimestamp(
                 max(last_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)

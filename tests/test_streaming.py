@@ -350,6 +350,54 @@ def test_streaming_dedup_ttl_horizon_and_eviction(spark, tmp_path):
     assert removed > 0, q.recentProgress  # physical state eviction fired
 
 
+def test_streaming_dedup_ttl_monotone_anchor(spark, tmp_path):
+    """A late-but-valid duplicate (ts above the watermark but below the
+    stored last sighting) must NOT move the TTL anchor backward: the
+    horizon runs from max(stored last_ms, batch max). With a shrunk
+    anchor the third arrival below would be spuriously re-admitted."""
+    import time as _time
+
+    from logagent_spark.streaming.dedup import streaming_dedup_exact
+
+    in_dir = str(tmp_path / "ttl_mono_in")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "doc_id long, sec double, text string") \
+            .coalesce(1).write.mode("append").parquet(in_dir)
+        _time.sleep(1.2)
+
+    # watermark delay 10000s so a duplicate can be above the watermark
+    # yet below the stored last sighting (the late-but-valid window)
+    write_batch([(0, 20_000.0, "doc A")])   # last sighting anchor 20000
+    write_batch([(1, 12_000.0, "doc A")])   # late dup: wm=10000 < 12000 < 20000
+    write_batch([(2, 28_000.0, "filler")])  # advances wm to 18000 for next batch
+    # true horizon = 20000 + ttl(5000) = 25000; a backward-moved anchor
+    # (12000) would put the horizon at 17000 < wm 18000 -> re-admission
+    write_batch([(3, 18_500.0, "doc A")])
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .select("doc_id", F.timestamp_seconds("sec").alias("ts"), "text")
+        .withWatermark("ts", "10000 seconds")
+    )
+    q = (
+        streaming_dedup_exact(
+            stream, "doc_id", "text", ttl_s=5000.0, ts_col="ts",
+        )
+        .writeStream.outputMode("append")
+        .format("memory").queryName("dd_ttl_mono_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["is_dup"]
+           for r in spark.sql("select * from dd_ttl_mono_test").collect()}
+    assert got == {0: False, 1: True, 2: False, 3: True}
+
+
 def test_streaming_dedup_sharded_union_equals_unsharded(spark, tmp_path):
     """Hash-space sharding: n_shards jobs over disjoint shard slices
     each hold 1/n of the state, and their admitted sets union to
