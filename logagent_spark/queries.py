@@ -2131,7 +2131,7 @@ def _stream_table(spark, sf_dir: str, table: str):
 
 
 def q_streaming_parity(spark, sf_dir):
-    """Driver-visible parity for THREE stateful streaming twins, run
+    """Driver-visible parity for FOUR stateful streaming twins, run
     INSIDE this batch query under trigger(availableNow) into memory
     sinks:
 
@@ -2151,10 +2151,22 @@ def q_streaming_parity(spark, sf_dir):
       held in state, exactly the append eviction contract. The oracle
       replays session_window's HALF-OPEN gap semantics (a gap of
       exactly 30 min splits — `>=` — where the batch sessionizer's `>`
-      keeps; the divergence is documented on the operator).
+      keeps; the divergence is documented on the operator);
+    * BOUNDED event-time-TTL exact dedup (streaming/dedup.py TTL mode —
+      the r5 state-bounding mode, previously pytest-only): documents
+      split by content-hash parity into halves A/B stream as FOUR
+      engineered micro-batches (one parquet file each, mtimes pinned
+      with os.utime so no sleeps) — all docs at t=100 (winners = min
+      doc_id per content), A-half duplicates at t=10,000 (watermark
+      still 100 -> inside horizon, ALL flagged), B-half duplicates at
+      t=20,000 (watermark 10,000 > B's last sighting 100 + ttl 3,600 ->
+      RE-ADMITTED, in-batch min-id wins again), A-half duplicates at
+      t=30,000 (watermark 20,000 > A's last 10,000 + ttl -> re-admitted).
+      Splitting on the CONTENT hash (not doc_id) keeps a content from
+      spanning halves, so every leg has a closed-form SQL oracle.
 
     Results conform to skinny (gate, key, val) rows so one driver row
-    hash-checks all three twins. Resume-contract anchor: the kafka
+    hash-checks all four twins. Resume-contract anchor: the kafka
     collector's offset replay (collector.go:230-260)."""
     from logagent_spark.streaming.dedup import streaming_dedup_exact
     from logagent_spark.streaming.pipeline import streaming_session_counts
@@ -2236,7 +2248,59 @@ def q_streaming_parity(spark, sf_dir):
             F.lit(":"), F.col("n_events").cast("string"),
         ).alias("val"),
     )
-    return a.unionByName(b).unionByName(c)
+
+    # --- TTL dedup leg: 4 engineered micro-batches over content-hash
+    # halves (see docstring). File order is pinned by explicit mtimes.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    hh = F.conv(F.substring(dd.content_hash(F.col("text")), 1, 1), 16, 10) \
+        .cast("int") % 2
+    a_half = docs.filter(hh == 0)
+    b_half = docs.filter(hh == 1)
+    ttl_in = os.path.join(tempfile.gettempdir(), f"la_ttl_in_{tag}")
+    shutil.rmtree(ttl_in, ignore_errors=True)
+    import glob as _glob
+    import time as _time
+
+    _seen_parts: set = set()
+    _base_mtime = _time.time() - 3600.0
+
+    def _ttl_batch(bdf, sec: float, id_shift: int, order: int):
+        bdf.select(
+            (F.col("doc_id") + id_shift).alias("doc_id"),
+            F.timestamp_seconds(F.lit(sec)).alias("ts"),
+            "text",
+        ).coalesce(1).write.mode("append").parquet(ttl_in)
+        for p in set(_glob.glob(os.path.join(ttl_in, "*.parquet"))) - _seen_parts:
+            os.utime(p, (_base_mtime + 10 * order, _base_mtime + 10 * order))
+            _seen_parts.add(p)
+
+    _ttl_batch(docs, 100.0, 0, 0)
+    _ttl_batch(a_half, 10_000.0, 1_000_000, 1)
+    _ttl_batch(b_half, 20_000.0, 1_000_000, 2)
+    _ttl_batch(a_half, 30_000.0, 2_000_000, 3)
+
+    ttl_schema = spark.read.parquet(ttl_in).schema
+    ttl_stream = (
+        spark.readStream.schema(ttl_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ttl_in)
+        # parquet ts is NTZ; watermarks demand TIMESTAMP (UTC session)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "0 seconds")
+    )
+    ttl_out = _run_available_now(
+        streaming_dedup_exact(
+            ttl_stream, "doc_id", "text", ttl_s=3600.0, ts_col="ts",
+        ),
+        f"stream_dedup_ttl_parity_{tag}",
+    )
+    d = ttl_out.select(
+        F.lit("dedup_ttl").alias("gate"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("is_dup").cast("string").alias("val"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 SQL_STREAMING_PARITY = (
@@ -2273,7 +2337,38 @@ FROM (
     FROM events
   ) f
 ) g
-GROUP BY user_id, sid"""
+GROUP BY user_id, sid
+UNION ALL
+-- TTL dedup leg, 4 engineered micro-batches (see q_streaming_parity):
+-- batch 1 = all docs (winner = min doc_id per content, both halves)
+SELECT 'dedup_ttl' AS gate, doc_id::VARCHAR AS key,
+       (doc_id <> min(doc_id) OVER (PARTITION BY ch))::VARCHAR AS val
+FROM (SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS ch
+      FROM documents) h1
+UNION ALL
+-- batch 2 = A-half dups inside the horizon: ALL flagged
+SELECT 'dedup_ttl', (doc_id + 1000000)::VARCHAR, 'true'
+FROM (SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS ch
+      FROM documents) h2
+WHERE ('0x' || substr(ch, 1, 1))::BIGINT % 2 = 0
+UNION ALL
+-- batch 3 = B-half dups past the horizon: re-admitted, min new id wins
+SELECT 'dedup_ttl', (doc_id + 1000000)::VARCHAR,
+       (doc_id <> min(doc_id) OVER (PARTITION BY ch))::VARCHAR
+FROM (SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS ch
+      FROM documents) h3
+WHERE ('0x' || substr(ch, 1, 1))::BIGINT % 2 = 1
+UNION ALL
+-- batch 4 = A-half dups past the horizon again: re-admitted
+SELECT 'dedup_ttl', (doc_id + 2000000)::VARCHAR,
+       (doc_id <> min(doc_id) OVER (PARTITION BY ch))::VARCHAR
+FROM (SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS ch
+      FROM documents) h4
+WHERE ('0x' || substr(ch, 1, 1))::BIGINT % 2 = 0"""
 )
 
 
