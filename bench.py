@@ -670,10 +670,15 @@ def knn_ivf_large_q(
     ).persist()
     n_corpus = corpus_all.count()
 
+    # helper-picked config (VERDICT r5 #3): max_centroids pinned at 64
+    # so the index (and the recall sweep's axis) stays comparable
+    # round-over-round; the helper sizes nprobe off the measured curve
+    cfg = sim.suggest_ivf_config(n_corpus, 0.9, max_centroids=64)
+
     t0 = time.monotonic()
     cents = sim.kmeans_refine(
         corpus_all, "embedding",
-        sim.seeded_centroids(dim, 64, seed=5), iters=2,
+        sim.seeded_centroids(dim, cfg["n_centroids"], seed=5), iters=2,
     )
     index_sec = time.monotonic() - t0
 
@@ -687,7 +692,7 @@ def knn_ivf_large_q(
     )
     t0 = time.monotonic()
     out = sim.knn_join_ivf(
-        corpus_all, "embedding", qdf, cents, k=k, nprobe=2,
+        corpus_all, "embedding", qdf, cents, k=k, nprobe=cfg["nprobe"],
         strategy="pandas",  # the large-Q scale path: per-bucket numpy
     ).persist()
     rows = out.count()
@@ -715,7 +720,7 @@ def knn_ivf_large_q(
         truth_sets.setdefault(pq[r["query_id"]][0], set()).add(r["vec_id"])
 
     sweep = {}
-    for nprobe in (1, 2, 4, 8):
+    for nprobe in sorted({1, 2, 4, 8, cfg["nprobe"]}):
         t0 = time.monotonic()
         res = sim.knn_join_ivf(
             corpus_all, "embedding", pq_df, cents, k=k, nprobe=nprobe,
@@ -742,8 +747,9 @@ def knn_ivf_large_q(
         "n_queries": n_q,
         "n_corpus": n_corpus,
         "n_planted": len(pq),
-        "nprobe": 2,
-        "n_centroids": 64,
+        "nprobe": cfg["nprobe"],
+        "n_centroids": cfg["n_centroids"],
+        "suggested_config": {k_: v for k_, v in cfg.items()},
         "kmeans_iters": 2,
         "index_sec": round(index_sec, 2),
         "result_rows": rows,
@@ -1191,8 +1197,11 @@ def render_bench_md(result: dict) -> str:
             "what keeps candidates sub-quadratic as n grows.\n\n"
             f"Large-Q k-NN join (IVF buckets, queries as a DataFrame): "
             f"{largeq['n_queries']:,} queries x "
-            f"{largeq['n_corpus']:,} corpus vectors, nprobe "
-            f"{largeq['nprobe']}/{largeq['n_centroids']} -> "
+            f"{largeq['n_corpus']:,} corpus vectors, config from "
+            f"suggest_ivf_config(n, 0.9, max_centroids=64) = nprobe "
+            f"{largeq['nprobe']}/{largeq['n_centroids']} (predicted "
+            "top-k recall "
+            f"{largeq['suggested_config']['expected_topk_recall']}) -> "
             f"{largeq['result_rows']:,} result rows in {largeq['sec']}s "
             "via the per-bucket Arrow/numpy strategy (cogroup on the "
             "bucket key — ONE corpus shuffle, co-located at ingest when "

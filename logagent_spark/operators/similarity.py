@@ -18,6 +18,8 @@ Two paths, per the scale doctrine:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -52,6 +54,82 @@ def brute_force_topk(
 
 # ---------------------------------------------------------------------------
 # IVF-style bucketed ANN
+
+# Measured top-k recall vs PROBE FRACTION (nprobe / n_centroids) from
+# the r5 bench sweep: 101k-vector corpus, 64 kmeans-refined centroids,
+# k=5, 1023 planted queries (BENCH.md "Large-Q k-NN join"). The curve
+# anchors suggest_ivf_config the way the SimHash collision model
+# anchors suggest_lsh_config — but it is EMPIRICAL, not analytic:
+# re-calibrate on a corpus sample (the bench's recall-sweep protocol)
+# when the embedding distribution differs materially.
+_IVF_RECALL_CURVE: list[tuple[float, float]] = [
+    (1 / 64, 0.639), (2 / 64, 0.751), (4 / 64, 0.862), (8 / 64, 0.952),
+    (1.0, 1.0),
+]
+
+
+def _ivf_recall_at(probe_frac: float) -> float:
+    """Piecewise log(f)-linear interpolation of the measured curve."""
+    curve = _IVF_RECALL_CURVE
+    if probe_frac <= curve[0][0]:
+        return curve[0][1]
+    for (f0, r0), (f1, r1) in zip(curve, curve[1:]):
+        if probe_frac <= f1:
+            t = (math.log(probe_frac) - math.log(f0)) \
+                / (math.log(f1) - math.log(f0))
+            return r0 + t * (r1 - r0)
+    return 1.0
+
+
+def suggest_ivf_config(
+    n: int,
+    recall_target: float = 0.9,
+    *,
+    max_centroids: int = 4096,
+) -> dict:
+    """Pick (n_centroids, nprobe) for knn_join_ivf / ivf_topk from the
+    corpus size and a top-k recall target — the guard that stops anyone
+    shipping the gate default (nprobe 2, measured 0.751 top-k recall)
+    against a workload that needs 0.95.
+
+    Sizing: n_centroids ~ sqrt(n) (the standard IVF balance — bucket
+    occupancy and centroid count both ~sqrt(n), so assignment cost and
+    per-probe scan cost grow together; clamped to [8, max_centroids]).
+    nprobe is the smallest probe count whose measured-curve recall
+    (``_IVF_RECALL_CURVE``, the r5 sweep, interpolated in log probe
+    fraction) meets ``recall_target``.
+
+    Returns {n_centroids, nprobe, probe_frac, expected_topk_recall,
+    expected_scan_frac} — scan_frac equals probe_frac under balanced
+    (kmeans-refined) buckets; feed the first two straight into
+    knn_join_ivf."""
+    if not 0.0 < recall_target <= 1.0:
+        raise ValueError(f"recall_target must be in (0, 1]: {recall_target}")
+    c = int(min(max_centroids, max(8, round(math.sqrt(max(n, 1))))))
+    curve = _IVF_RECALL_CURVE
+    if recall_target <= curve[0][1]:
+        f_needed = curve[0][0]
+    else:
+        f_needed = 1.0
+        for (f0, r0), (f1, r1) in zip(curve, curve[1:]):
+            if recall_target <= r1:
+                t = (recall_target - r0) / (r1 - r0)
+                f_needed = math.exp(
+                    math.log(f0) + t * (math.log(f1) - math.log(f0))
+                )
+                break
+    # epsilon guards the exp(log(...)) round-trip: a target sitting ON
+    # a measured anchor must not tip ceil() one probe high
+    nprobe = max(1, min(c, math.ceil(f_needed * c - 1e-9)))
+    frac = nprobe / c
+    return {
+        "n_centroids": c,
+        "nprobe": nprobe,
+        "probe_frac": frac,
+        "expected_topk_recall": round(_ivf_recall_at(frac), 4),
+        "expected_scan_frac": frac,
+    }
+
 
 def seeded_centroids(dim: int, n_centroids: int, seed: int = 42) -> np.ndarray:
     """Deterministic unit-norm centroids. (A production build would

@@ -308,3 +308,56 @@ def test_knn_join_ivf_planted_twin_recall_floor(spark):
     assert r16 == 1.0, r16          # full probe == exact
     assert r2 >= 0.9, r2            # partial-probe floor
     assert r2 <= r4 <= r16, (r2, r4, r16)
+
+
+def test_suggest_ivf_config_model():
+    """The sizing helper inverts the measured recall curve: nprobe is
+    monotone in the recall target, probe fraction matches the sweep's
+    anchor points, and the sqrt(n) centroid rule clamps sanely."""
+    lo = sim.suggest_ivf_config(100_000, 0.70)
+    mid = sim.suggest_ivf_config(100_000, 0.90)
+    hi = sim.suggest_ivf_config(100_000, 0.99)
+    assert lo["n_centroids"] == mid["n_centroids"] == hi["n_centroids"] == 316
+    assert lo["nprobe"] <= mid["nprobe"] <= hi["nprobe"]
+    assert mid["expected_topk_recall"] >= 0.9
+    # anchor inversion: a target AT a measured point needs exactly that
+    # point's probe fraction (0.952 at 8/64)
+    at = sim.suggest_ivf_config(64 * 64, 0.952)
+    assert at["n_centroids"] == 64 and at["nprobe"] == 8
+    # an easy target never probes below 1, an exact target never above C
+    assert sim.suggest_ivf_config(50, 0.1)["nprobe"] == 1
+    full = sim.suggest_ivf_config(1_000_000, 1.0)
+    assert full["nprobe"] == full["n_centroids"]
+    assert sim.suggest_ivf_config(10**12, 0.9)["n_centroids"] == 4096
+
+
+def test_suggest_ivf_config_hits_planted_floor(spark):
+    """Helper-picked config on the planted-twin fixture: the predicted
+    recall must be REALIZED (planted recall >= target) — the sizing is
+    only useful if its numbers survive contact with a corpus."""
+    rng = np.random.RandomState(31)
+    n, dim, nq, k = 2000, 16, 80, 5
+    base = rng.randn(n, dim) * 50
+    rows = [(i, base[i].tolist()) for i in range(n)]
+    twins = []
+    for qi in range(nq):
+        e = base[qi]
+        sigma = 0.02 * np.linalg.norm(e) / np.sqrt(dim)
+        twins.append((n + qi, (e + sigma * rng.randn(dim)).tolist()))
+    corpus = spark.createDataFrame(
+        rows + twins, "vec_id long, embedding array<double>")
+    cfg = sim.suggest_ivf_config(n + nq, 0.9)
+    cents = sim.kmeans_refine(
+        corpus, "embedding",
+        sim.seeded_centroids(dim, cfg["n_centroids"], seed=13), iters=2)
+    qdf = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(nq)],
+        "query_id long, qemb array<double>")
+    got = sim.knn_join_ivf(
+        corpus, "embedding", qdf, cents, k=k, nprobe=cfg["nprobe"],
+        strategy="pandas")
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recall = sum(1 for q in range(nq) if (n + q) in by_q.get(q, ())) / nq
+    assert recall >= 0.9, (cfg, recall)
