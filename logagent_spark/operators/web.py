@@ -11,14 +11,20 @@ text per url. This module is that extraction as pure Column expressions
   * strip tags;
   * decode entities: the named basic set (`amp lt gt quot apos`), the
     ~100 common extended names (NAMED_ENTITIES: typography, currency,
-    signs, Latin-1 letters), and numeric character references
-    (`&#NN;` decimal / `&#xNN;` hex, full Unicode range incl.
-    surrogate-pair codepoints, HTML5 U+FFFD replacement for invalid
-    codepoints) — basic-named-only rows take an amp-LAST
-    literal-replace chain (the exact inverse of escape order, so
-    escape -> extract round-trips byte-identically), rows with numeric
-    or extended refs take a single-pass split/decode/stitch
-    (`decode_entities`);
+    signs, Latin-1 letters), their uppercase variants (UPPER_ENTITIES —
+    case-sensitive, `&Aacute;` is a different character than
+    `&aacute;`), the spec's LEGACY semicolon-optional forms (`&amp`
+    `&copy` `&Ouml` … decode when not followed by `[a-zA-Z0-9=]` —
+    the attribute-value rule applied uniformly; the data-state spec
+    would decode '&amplitude' as '&litude', rejected here for byte
+    fidelity), and numeric character references (`&#NN;` decimal /
+    `&#xNN;` hex, UNBOUNDED digit runs with leading zeros, full
+    Unicode range incl. surrogate-pair codepoints, HTML5 U+FFFD
+    replacement for invalid/overflowing codepoints) — basic-named-only
+    rows take an amp-LAST literal-replace chain (the exact inverse of
+    escape order, so escape -> extract round-trips byte-identically),
+    rows with numeric, extended, uppercase, or legacy-unterminated
+    refs take a single-pass split/decode/stitch (`decode_entities`);
   * whitespace is preserved verbatim — collapsing would break the
     byte-identity invariant.
 
@@ -36,8 +42,9 @@ __all__ = ["escape_html_text", "html_to_text", "extract_text_from_html"]
 
 # Extended named entities (HTML5 names -> codepoints), the common set
 # beyond the five basic ones: typography, currency, signs, Latin-1
-# letters. Lowercase, semicolon-terminated scope (case variants and
-# legacy unterminated forms stay literal, documented).
+# letters (lowercase; uppercase variants live in UPPER_ENTITIES).
+# Names outside these tables (the long tail of the HTML5 list, e.g.
+# `&notin;`) stay literal — documented scope.
 NAMED_ENTITIES = {
     "nbsp": 0xA0, "iexcl": 0xA1, "cent": 0xA2, "pound": 0xA3,
     "curren": 0xA4, "yen": 0xA5, "brvbar": 0xA6, "sect": 0xA7,
@@ -66,25 +73,81 @@ NAMED_ENTITIES = {
     "rarr": 0x2192, "darr": 0x2193, "harr": 0x2194,
 }
 
-# one entity reference: named (basic five + extended set) OR numeric
-# (decimal / hex), semicolon-terminated (unterminated legacy forms are
-# out of scope). The '&' prefix is shared by construction; the trailing
-# ';' in the pattern makes alternation-order irrelevant (a prefix name
-# that leaves the ';' unmatched backtracks); digit bounds keep the
-# codepoint parse in long range.
-_EXT_ALT = "|".join(sorted(NAMED_ENTITIES, key=len, reverse=True))
+# Uppercase Latin-1 letter entities (distinct characters, not aliases)
+# plus the spec's uppercase ALIASES of basic/sign names. Names are
+# case-SENSITIVE throughout: &Aacute; is U+00C1, &aacute; is U+00E1.
+UPPER_ENTITIES = {
+    "Agrave": 0xC0, "Aacute": 0xC1, "Acirc": 0xC2, "Atilde": 0xC3,
+    "Auml": 0xC4, "Aring": 0xC5, "AElig": 0xC6, "Ccedil": 0xC7,
+    "Egrave": 0xC8, "Eacute": 0xC9, "Ecirc": 0xCA, "Euml": 0xCB,
+    "Igrave": 0xCC, "Iacute": 0xCD, "Icirc": 0xCE, "Iuml": 0xCF,
+    "ETH": 0xD0, "Ntilde": 0xD1, "Ograve": 0xD2, "Oacute": 0xD3,
+    "Ocirc": 0xD4, "Otilde": 0xD5, "Ouml": 0xD6, "Oslash": 0xD8,
+    "Ugrave": 0xD9, "Uacute": 0xDA, "Ucirc": 0xDB, "Uuml": 0xDC,
+    "Yacute": 0xDD, "THORN": 0xDE,
+    "AMP": 0x26, "LT": 0x3C, "GT": 0x3E, "QUOT": 0x22,
+    "COPY": 0xA9, "REG": 0xAE,
+}
+
+# The HTML5 spec's LEGACY set: exactly the named references that are
+# valid WITHOUT the trailing semicolon (the HTML 2.0/3.2-era Latin-1
+# names plus their uppercase variants). An unterminated legacy name
+# decodes only when the next character is not [a-zA-Z0-9=] — the
+# spec's attribute-value rule, applied here uniformly (the data-state
+# spec would decode '&amplitude' as '&litude'; for byte-fidelity text
+# extraction the conservative rule is the documented choice).
+LEGACY_UNTERMINATED = frozenset(
+    [
+        "amp", "lt", "gt", "quot",
+        "AElig", "AMP", "Aacute", "Acirc", "Agrave", "Aring", "Atilde",
+        "Auml", "COPY", "Ccedil", "ETH", "Eacute", "Ecirc", "Egrave",
+        "Euml", "GT", "Iacute", "Icirc", "Igrave", "Iuml", "LT",
+        "Ntilde", "Oacute", "Ocirc", "Ograve", "Oslash", "Otilde",
+        "Ouml", "QUOT", "REG", "THORN", "Uacute", "Ucirc", "Ugrave",
+        "Uuml", "Yacute",
+        "aacute", "acirc", "acute", "aelig", "agrave", "aring",
+        "atilde", "auml", "brvbar", "ccedil", "cedil", "cent", "copy",
+        "curren", "deg", "divide", "eacute", "ecirc", "egrave", "eth",
+        "euml", "frac12", "frac14", "frac34", "iacute", "icirc",
+        "iexcl", "igrave", "iquest", "iuml", "laquo", "macr", "micro",
+        "middot", "nbsp", "not", "ntilde", "oacute", "ocirc", "ograve",
+        "ordf", "ordm", "oslash", "otilde", "ouml", "para", "plusmn",
+        "pound", "raquo", "reg", "sect", "shy", "sup1", "sup2", "sup3",
+        "szlig", "thorn", "times", "uacute", "ucirc", "ugrave", "uml",
+        "uuml", "yacute", "yen", "yuml",
+    ]
+)
+
+# one entity reference: named (basic five + extended + uppercase sets,
+# semicolon-terminated) OR numeric (decimal / hex, unbounded digits —
+# overflow clamps to U+FFFD in _codepoint_char) OR a LEGACY name
+# without its semicolon when not followed by [a-zA-Z0-9=]. The '&'
+# prefix is shared by construction; the trailing ';' in the terminated
+# branch makes alternation-order irrelevant there (a prefix name that
+# leaves the ';' unmatched backtracks); the legacy branch is sorted
+# longest-first so maximal names win under the lookahead.
+_EXT_ALT = "|".join(
+    sorted({**NAMED_ENTITIES, **UPPER_ENTITIES}, key=len, reverse=True)
+)
+_LEGACY_ALT = "|".join(sorted(LEGACY_UNTERMINATED, key=len, reverse=True))
 _ENT_BODY = (
     r"(?:amp|lt|gt|quot|apos|" + _EXT_ALT +
-    r"|#(?:[xX][0-9a-fA-F]{1,6}|[0-9]{1,7}))"
+    r"|#(?:[xX][0-9a-fA-F]+|[0-9]+))"
 )
-_ENT_SPLIT = rf"&{_ENT_BODY};"
-_ENT_EXTRACT = rf"&({_ENT_BODY});"
+# the captured body keeps the ';' for terminated refs (stripped in
+# _entity_char) so ONE group serves both branches
+_ENT_REF = rf"(?:{_ENT_BODY};|(?:{_LEGACY_ALT})(?![a-zA-Z0-9=]))"
+_ENT_SPLIT = rf"&{_ENT_REF}"
+_ENT_EXTRACT = rf"&({_ENT_REF})"
 # routing gate for html_to_text: rows whose entities the literal
-# chain can't decode (numeric or extended named) take the single pass.
-# The rlike is one regex scan over '&'-bearing rows — measured ~3us per
-# KB-scale doc (bench html_extract_text 0.12s -> 0.29s per 60k docs),
-# the price of full-scope decoding; '&'-free rows never reach it.
-_NEEDS_SINGLE_PASS = rf"&(?:{_EXT_ALT}|#[xX0-9])"
+# chain can't decode (numeric, extended/uppercase named, or a basic
+# name MISSING its semicolon — the legacy form) take the single pass.
+# Over-approximation is fine: a routed row the single pass leaves
+# literal costs time, never bytes. The rlike is one regex scan over
+# '&'-bearing rows — measured ~3us per KB-scale doc (bench
+# html_extract_text 0.12s -> 0.29s per 60k docs); '&'-free rows never
+# reach it.
+_NEEDS_SINGLE_PASS = rf"&(?:{_EXT_ALT}|#[xX0-9]|(?:amp|lt|gt|quot)(?!;))"
 
 
 def _codepoint_char(body: Column) -> Column:
@@ -96,14 +159,24 @@ def _codepoint_char(body: Column) -> Column:
     the full spec, documented: the Windows-1252 remap of &#x80;-&#x9F;
     is not applied — those decode as the C1 codepoints themselves.)
     CaseWhen short-circuits per row, so the decode never sees the
-    invalid codepoints that would raise MALFORMED_CHARACTER_CODING."""
-    digits = F.substring(body, 2, 8)  # strip '#'
+    invalid codepoints that would raise MALFORMED_CHARACTER_CODING.
+
+    Digit runs are UNBOUNDED (ADVICE r5): leading zeros are stripped
+    before the parse, and a reference whose significant digits exceed
+    the 0x10FFFF width (7 decimal / 6 hex) clamps straight to the
+    invalid sentinel — '&#00000065;' decodes as 'A' and
+    '&#999999999999;' as U+FFFD, matching html.unescape, with the
+    numeric parse never leaving long range."""
+    is_hex = body.rlike("^#[xX]")
+    # strip '#' and the hex marker, then leading zeros (keep one digit)
+    sig = F.regexp_replace(
+        F.regexp_replace(body, "^#[xX]?", ""), "^0+(?=.)", ""
+    )
+    too_wide = F.length(sig) > F.when(is_hex, F.lit(6)).otherwise(F.lit(7))
     cp = (
-        F.when(
-            digits.rlike("^[xX]"),
-            F.conv(F.substring(digits, 2, 7), 16, 10).cast("long"),
-        )
-        .otherwise(digits.cast("long"))
+        F.when(too_wide, F.lit(0x110000).cast("long"))  # > max -> U+FFFD
+        .when(is_hex, F.conv(sig, 16, 10).cast("long"))
+        .otherwise(sig.cast("long"))
     )
     bmp = F.lpad(F.lower(F.hex(cp)), 4, "0")
     sup = F.concat(
@@ -122,24 +195,26 @@ def _codepoint_char(body: Column) -> Column:
 
 def _named_entity_map() -> Column:
     """Map literal: entity name -> decoded character (basic five +
-    extended set). Built once per query; lookup is one map probe per
-    entity, not a 100-branch when-chain."""
+    extended + uppercase sets). Built once per query; lookup is one map
+    probe per entity, not a 100-branch when-chain."""
     pairs: list = []
     for name, ch in (("amp", "&"), ("lt", "<"), ("gt", ">"),
                      ("quot", '"'), ("apos", "'")):
         pairs += [F.lit(name), F.lit(ch)]
-    for name, cp in NAMED_ENTITIES.items():
+    for name, cp in {**NAMED_ENTITIES, **UPPER_ENTITIES}.items():
         pairs += [F.lit(name), F.lit(chr(cp))]
     return F.create_map(*pairs)
 
 
 def _entity_char(body: Column) -> Column:
-    """Entity body (no '&'/';') -> decoded character. Named refs probe
-    the map literal; numeric refs compute the codepoint. The regex only
-    admits listed names, so the map probe cannot miss."""
+    """Entity body (no '&'; trailing ';' present on terminated refs) ->
+    decoded character. Named refs probe the map literal; numeric refs
+    compute the codepoint. The regex only admits listed names, so the
+    map probe cannot miss."""
+    name = F.regexp_replace(body, ";$", "")
     return (
-        F.when(body.startswith("#"), _codepoint_char(body))
-        .otherwise(F.element_at(_named_entity_map(), body))
+        F.when(name.startswith("#"), _codepoint_char(name))
+        .otherwise(F.element_at(_named_entity_map(), name))
     )
 
 
@@ -212,8 +287,9 @@ def html_to_text(col: Column) -> Column:
     c = F.replace(c, F.lit("&quot;"), F.lit('"'))
     c = F.replace(c, F.lit("&apos;"), F.lit("'"))
     chained = F.replace(c, F.lit("&amp;"), F.lit("&"))
-    # rows carrying a numeric reference ('&#NN;' / '&#xNN;') or an
-    # extended named entity take the single-pass decoder (the chain
+    # rows carrying a numeric reference ('&#NN;' / '&#xNN;'), an
+    # extended/uppercase named entity, or a legacy unterminated basic
+    # name ('&amp' without ';') take the single-pass decoder (the chain
     # can't express them, and only a single pass decodes
     # '&#38;amp;'-style nesting correctly); the
     # amp-LAST literal chain is single-pass-equivalent for named-only

@@ -236,7 +236,11 @@ def test_extended_named_entities(spark):
         ("x &le; y &ne; z &rarr; w", None),
         ("&amp;nbsp; stays literal", "&nbsp; stays literal"),
         ("&NBSP; unknown case stays", "&NBSP; unknown case stays"),
-        ("&nbsp no semicolon stays", "&nbsp no semicolon stays"),
+        # nbsp is in the spec's LEGACY set: unterminated form decodes
+        # when not followed by [a-zA-Z0-9=]
+        ("&nbsp no semicolon decodes", "\xa0 no semicolon decodes"),
+        ("&euro no semicolon stays (not legacy)",
+         "&euro no semicolon stays (not legacy)"),
         # mixed basic + extended + numeric in one row, single pass
         ("&lt;&nbsp;&#65;&amp;", "<\xa0A&"),
     ]
@@ -253,3 +257,60 @@ def test_extended_named_entities(spark):
             df2.select("h", html_to_text(F.col("h")).alias("t")).collect()}
     for (h,) in ents:
         assert got2[h] == pyhtml.unescape(h), (h, got2[h])
+
+
+def test_legacy_unterminated_and_uppercase_entities(spark):
+    """The spec's legacy semicolon-optional set decodes when NOT
+    followed by [a-zA-Z0-9=] — agreeing with html.unescape there — and
+    stays literal when followed by an alphanumeric or '=' (the
+    attribute-value rule applied uniformly; data-state unescape would
+    decode, divergence documented in web.py). Uppercase names are
+    case-sensitive distinct entities."""
+    import html as pyhtml
+
+    from logagent_spark.operators.web import (
+        LEGACY_UNTERMINATED, UPPER_ENTITIES,
+    )
+
+    decode_cases = []
+    for n in sorted(LEGACY_UNTERMINATED):
+        for sep in ("", " tail", ".", "&lt;"):
+            decode_cases.append(f"x &{n}{sep}")
+    # terminated uppercase forms (distinct chars: &Aacute; != &aacute;)
+    decode_cases += [f"u &{n}; v" for n in sorted(UPPER_ENTITIES)]
+    blocked_cases = [f"&{n}x stays" for n in sorted(LEGACY_UNTERMINATED)]
+    blocked_cases += [f"&{n}= stays" for n in ("amp", "lt", "copy", "AMP")]
+
+    df = spark.createDataFrame(
+        [(h,) for h in decode_cases + blocked_cases], "h string")
+    got = {r["h"]: r["t"] for r in
+           df.select("h", html_to_text(F.col("h")).alias("t")).collect()}
+    for h in decode_cases:
+        assert got[h] == pyhtml.unescape(h), (h, got[h], pyhtml.unescape(h))
+    for h in blocked_cases:
+        assert got[h] == h, (h, got[h])
+
+
+def test_numeric_reference_digit_runs_unbounded(spark):
+    """ADVICE r5: digit runs beyond the old pattern bounds (8+ decimal,
+    7+ hex) must decode — leading zeros stripped, overflowing
+    significant digits clamped to U+FFFD, matching html.unescape."""
+    import html as pyhtml
+
+    cases = [
+        "&#00000065;", "&#x00000041;", "&#000000000000000000048;",
+        "&#999999999999;", "&#x999999999;", "&#18446744073709551616;",
+        "&#1114112;",
+    ]
+    # max valid codepoint: a NONCHARACTER, which CPython's unescape
+    # drops while we decode as-is (documented divergence) — assert our
+    # semantics directly
+    direct = [("&#x10FFFF;", "\U0010FFFF"), ("&#0001114111;", "\U0010FFFF")]
+    df = spark.createDataFrame(
+        [(h,) for h in cases + [h for h, _ in direct]], "h string")
+    got = {r["h"]: r["t"] for r in
+           df.select("h", html_to_text(F.col("h")).alias("t")).collect()}
+    for h in cases:
+        assert got[h] == pyhtml.unescape(h), (h, got[h], pyhtml.unescape(h))
+    for h, want in direct:
+        assert got[h] == want, (h, got[h], want)
