@@ -759,33 +759,24 @@ def knn_ivf_large_q(
     }
 
 
-def census_prefilter_crossover(spark) -> dict:
-    """The census prefilter's predicted win, demonstrated (VERDICT r4
-    #3): a boilerplate-heavy corpus — unique pseudo-random prose per
-    doc plus one 14-token license block shared by EVERY doc, the
-    workload SURVEY §2.8 names — materialized to parquet (a real
-    corpus is read, not re-generated per pass), then the exact census
-    vs the auto-sized counting-bucket prefilter, interleaved A/B twice
-    inside one session (CLAUDE.md: cross-invocation comparisons are
-    invalid), reporting wall-clock AND shuffled bytes. Sized ~1.5M docs
-    at sf0.1 (~88M windows): big enough that the exact twin's fat
-    md5+id shuffle (~5.4 GB) is real, the regime the prefilter exists
-    for. Caches are dropped and checkpoints GC'd between rounds — the
-    prefilter's localCheckpoint blocks otherwise accumulate and
-    manufacture memory pressure for later rounds."""
-    import gc
+def _ensure_boiler_corpus(spark) -> "tuple[str, int]":
+    """Materialize the boilerplate-heavy census corpus once per
+    workload: unique pseudo-random prose per doc plus one 14-token
+    license block shared by EVERY doc. The cache key covers the
+    WORKLOAD (prose length + license text), not just the row count
+    (ADVICE r5: a workload change must not silently reuse stale
+    parquet). Returns (path, n_docs)."""
+    import hashlib
     import shutil
 
     from pyspark.sql import functions as F
 
-    from logagent_spark.operators.textstats import duplicated_window_stats
-    from logagent_spark.plans.metrics import shuffle_write_bytes
-
     n_docs, prose = max(100_000, int(15_000_000 * _sf_value())), 50
-    path = f"/tmp/la_census_boiler_{n_docs}"
+    lic = ("licensed under creative commons attribution share alike "
+           "four point zero international public license")
+    wtag = hashlib.md5(f"{prose}|{lic}".encode()).hexdigest()[:8]
+    path = f"/tmp/la_census_boiler_{n_docs}_{wtag}"
     if not os.path.exists(path):
-        lic = ("licensed under creative commons attribution share alike "
-               "four point zero international public license")
         spark.range(n_docs).select(
             F.col("id").alias("doc_id"),
             F.concat(
@@ -804,16 +795,48 @@ def census_prefilter_crossover(spark) -> dict:
         ).repartition(32).write.mode("overwrite").parquet(path + ".tmp")
         shutil.rmtree(path, ignore_errors=True)
         os.rename(path + ".tmp", path)
+    return path, n_docs
+
+
+def census_prefilter_crossover(spark) -> dict:
+    """The census prefilter's predicted win, demonstrated (VERDICT r4
+    #3): a boilerplate-heavy corpus — unique pseudo-random prose per
+    doc plus one 14-token license block shared by EVERY doc, the
+    workload SURVEY §2.8 names — materialized to parquet (a real
+    corpus is read, not re-generated per pass), then the exact census
+    vs the auto-sized counting-bucket prefilter, interleaved A/B twice
+    inside one session (CLAUDE.md: cross-invocation comparisons are
+    invalid), reporting wall-clock AND shuffled bytes. Sized ~1.5M docs
+    at sf0.1 (~88M windows): big enough that the exact twin's fat
+    md5+id shuffle (~5.4 GB) is real, the regime the prefilter exists
+    for. Caches are dropped and checkpoints GC'd between rounds — the
+    prefilter's localCheckpoint blocks otherwise accumulate and
+    manufacture memory pressure for later rounds."""
+    import gc
+
+    from pyspark.sql import functions as F
+
+    from logagent_spark.operators.textstats import duplicated_window_stats
+    from logagent_spark.plans.metrics import shuffle_write_bytes
+
+    path, n_docs = _ensure_boiler_corpus(spark)
     docs = spark.read.parquet(path)
 
     def run(**kw):
+        sink = []
         t0 = time.monotonic()
-        agg = duplicated_window_stats(docs, "doc_id", "text", w=5, **kw).agg(
+        agg = duplicated_window_stats(
+            docs, "doc_id", "text", w=5, metrics_sink=sink, **kw
+        ).agg(
             F.sum("n_dup_windows").alias("d"), F.sum("n_windows").alias("n"))
         row = agg.collect()[0]
         sec = time.monotonic() - t0
-        sb = shuffle_write_bytes(agg)
-        del agg
+        # ADVICE r5: the prefilter's bucket pass runs inside the eager
+        # localCheckpoint job — sum its shuffles (via metrics_sink) with
+        # the final plan's so the exact/prefilter bytes are comparable
+        sb = shuffle_write_bytes(agg) + sum(
+            shuffle_write_bytes(p) for p in sink)
+        del agg, sink
         spark.catalog.clearCache()
         gc.collect()  # frees prior localCheckpoint blocks via ContextCleaner
         return sec, sb, (row["d"], row["n"])
@@ -829,6 +852,67 @@ def census_prefilter_crossover(spark) -> dict:
         "n_docs": n_docs,
         "total_windows": ex[0][2][1],
         "dup_windows": ex[0][2][0],
+        "exact_sec": round(ex_sec, 2),
+        "prefilter_sec": round(pre_sec, 2),
+        "exact_shuffle_mb": round(ex[0][1] / 1e6, 1),
+        "prefilter_shuffle_mb": round(pre[0][1] / 1e6, 1),
+        "crossover_flipped": pre_sec < ex_sec,
+        "pairs": [
+            {"exact_sec": round(e[0], 2), "prefilter_sec": round(p[0], 2)}
+            for e, p in zip(ex, pre)
+        ],
+    }
+
+
+def census_excision_crossover(spark) -> dict:
+    """Excision at prefilter scale (VERDICT r5 #7): the census crossover
+    is demonstrated for duplicated_window_stats; run
+    excise_duplicated_windows on the same boilerplate corpus so the
+    position-join side (the O(total tokens) explode, the next-biggest
+    shuffle) also shows its prefilter ride, with shuffle-byte
+    accounting that INCLUDES the checkpoint-side bucket pass. A 1/5
+    doc_id sample of the cached corpus keeps the four passes inside the
+    bench budget — the explode multiplies rows by ~64 tokens/doc.
+    Output equivalence is checked per pair via (row count, total clean
+    length, crc32 sum over text_clean)."""
+    import gc
+
+    from pyspark.sql import functions as F
+
+    from logagent_spark.operators.textstats import excise_duplicated_windows
+    from logagent_spark.plans.metrics import shuffle_write_bytes
+
+    path, n_docs = _ensure_boiler_corpus(spark)
+    docs = spark.read.parquet(path).filter(F.col("doc_id") % 5 == 0)
+
+    def run(**kw):
+        sink = []
+        t0 = time.monotonic()
+        agg = excise_duplicated_windows(
+            docs, "doc_id", "text", w=5, metrics_sink=sink, **kw
+        ).agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.length("text_clean")).alias("b"),
+            F.sum(F.crc32(F.col("text_clean"))).alias("h"),
+        )
+        row = agg.collect()[0]
+        sec = time.monotonic() - t0
+        sb = shuffle_write_bytes(agg) + sum(
+            shuffle_write_bytes(p) for p in sink)
+        del agg, sink
+        spark.catalog.clearCache()
+        gc.collect()
+        return sec, sb, (row["c"], row["b"], row["h"])
+
+    ex, pre = [], []
+    for _ in range(2):
+        ex.append(run())
+        pre.append(run(prefilter_buckets="auto"))
+    assert ex[0][2] == pre[0][2] == ex[1][2] == pre[1][2], (ex, pre)
+    ex_sec = min(s for s, _, _ in ex)
+    pre_sec = min(s for s, _, _ in pre)
+    return {
+        "n_docs": n_docs // 5,
         "exact_sec": round(ex_sec, 2),
         "prefilter_sec": round(pre_sec, 2),
         "exact_shuffle_mb": round(ex[0][1] / 1e6, 1),
@@ -959,6 +1043,7 @@ def main() -> None:
     scale100k = lsh_scale_100k(spark, pages)
     largeq = knn_ivf_large_q(spark, pages)
     census = census_prefilter_crossover(spark)
+    excision = census_excision_crossover(spark)
     spark.stop()
 
     # persist PAIRS across invocations (marker "paired": each entry is
@@ -1015,6 +1100,7 @@ def main() -> None:
         "lsh_scale_100k": scale100k,
         "knn_ivf_large_q": largeq,
         "census_prefilter": census,
+        "census_excision": excision,
         "grok_udf_tax": round(
             queries["parse_grok_udf"] / queries["parse_native"], 2
         ),
@@ -1066,6 +1152,7 @@ def render_bench_md(result: dict) -> str:
     scale100k = result["lsh_scale_100k"]
     largeq = result["knn_ivf_large_q"]
     census = result["census_prefilter"]
+    excision = result.get("census_excision")  # absent in pre-r6 records
     rows = scaling["pages_rows"]
     levels = sorted(
         int(k[len("local"):-len("_sec")])
@@ -1241,8 +1328,30 @@ def render_bench_md(result: dict) -> str:
             )
             + "). The bucket pass hashes the RAW shingle so md5 runs on "
             "survivors only; survivors localCheckpoint once (bounded by "
-            "candidate volume). At 10^9+ docs the byte ratio is the "
-            "whole story: the fat shuffle is network, not page cache.\n"
+            "candidate volume). Byte totals on the prefilter side "
+            "INCLUDE the checkpoint-side bucket shuffle (metrics_sink, "
+            "ADVICE r5) — the accounting is apples-to-apples. At 10^9+ "
+            "docs the byte ratio is the whole story: the fat shuffle is "
+            "network, not page cache.\n"
+            + (
+                "\nExcision at prefilter scale (same boilerplate "
+                f"corpus, 1/5 sample = {excision['n_docs']:,} docs; the "
+                "O(total tokens) position explode rides the same "
+                f"census): exact {excision['exact_sec']}s / "
+                f"{excision['exact_shuffle_mb']} MB shuffle vs "
+                f"prefilter {excision['prefilter_sec']}s / "
+                f"{excision['prefilter_shuffle_mb']} MB — crossover "
+                + ("FLIPPED" if excision["crossover_flipped"]
+                   else "NOT flipped")
+                + " (interleaved pairs: "
+                + ", ".join(
+                    f"{p['exact_sec']}s/{p['prefilter_sec']}s"
+                    for p in excision["pairs"]
+                )
+                + "); outputs verified identical per pair (count, "
+                "clean length, crc32 sum).\n"
+                if excision else ""
+            )
         )
 
 

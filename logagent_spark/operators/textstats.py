@@ -259,6 +259,7 @@ def _dup_window_occurrences(
     *,
     prefilter_buckets: "int | str | None" = None,
     broadcast_hot: bool = True,
+    metrics_sink: "list | None" = None,
 ) -> DataFrame:
     """Occurrence rows (any cols + raw window string `_s`) -> the subset
     whose window occurs >= 2 times corpus-wide, with the md5 window key
@@ -292,7 +293,14 @@ def _dup_window_occurrences(
     `suggest_prefilter_buckets`). Leave `broadcast_hot` on while the
     hot set fits the broadcast budget (it is longs only); at extreme T
     switch it off for a shuffle join on the bucket key, or shard the
-    corpus and union per-shard survivors."""
+    corpus and union per-shard survivors.
+
+    ``metrics_sink`` (ADVICE r5): the eager localCheckpoint runs the
+    bucket-count shuffle and survivor join in a SEPARATE job at
+    build time, invisible to plans/metrics.shuffle_write_bytes walking
+    the final plan. Pass a list to receive the pre-checkpoint frame
+    (its executed plan carries those shuffles' metrics) so byte
+    accounting can sum both contributions."""
     if prefilter_buckets == "auto":
         prefilter_buckets = suggest_prefilter_buckets(occ.count())
     if prefilter_buckets:
@@ -306,11 +314,15 @@ def _dup_window_occurrences(
         )
         if broadcast_hot:
             hot = F.broadcast(hot)
-        occ = (
+        pre = (
             occ.withColumn("_b", b).join(hot, "_b").drop("_b")
             .withColumn("_w", F.md5("_s")).drop("_s")
-            .localCheckpoint(eager=True)
         )
+        occ = pre.localCheckpoint(eager=True)
+        if metrics_sink is not None:
+            # the eager checkpoint just executed pre's plan; hand it to
+            # the caller so its shuffle metrics are not lost
+            metrics_sink.append(pre)
     else:
         occ = occ.withColumn("_w", F.md5("_s")).drop("_s")
     counts = (
@@ -327,6 +339,7 @@ def duplicated_window_stats(
     *,
     prefilter_buckets: "int | str | None" = None,
     broadcast_hot: bool = True,
+    metrics_sink: "list | None" = None,
 ) -> DataFrame:
     """Cross-document repeated-substring signal — the statistic behind
     substring-level dedup of training corpora (boilerplate, licenses,
@@ -373,6 +386,7 @@ def duplicated_window_stats(
         exploded,
         prefilter_buckets=prefilter_buckets,
         broadcast_hot=broadcast_hot,
+        metrics_sink=metrics_sink,
     )
     dups_per_doc = dup.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_dup_windows")
@@ -402,6 +416,7 @@ def excise_duplicated_windows(
     *,
     prefilter_buckets: "int | str | None" = None,
     broadcast_hot: bool = True,
+    metrics_sink: "list | None" = None,
 ) -> DataFrame:
     """Substring-level dedup, the cleaning step behind
     `duplicated_window_stats`: REMOVE every token covered by a w-token
@@ -432,6 +447,7 @@ def excise_duplicated_windows(
             win_pos,
             prefilter_buckets=prefilter_buckets,
             broadcast_hot=broadcast_hot,
+            metrics_sink=metrics_sink,
         )
         .select(
             F.col(id_col).alias("_cid"),

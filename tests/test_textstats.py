@@ -314,21 +314,34 @@ def test_prefilter_shuffles_fewer_bytes_on_boilerplate(spark):
     boilerplate-heavy corpus the prefiltered census MOVES fewer shuffle
     bytes than the exact twin — the skinny long-keyed bucket pass plus
     a census over only the ~license windows undercuts shuffling every
-    md5+id occurrence row twice."""
+    md5+id occurrence row twice. The prefilter total INCLUDES the
+    checkpoint-side bucket shuffle via metrics_sink (ADVICE r5 — the
+    eager localCheckpoint runs it in a separate job the final plan
+    never sees), so the comparison is apples-to-apples."""
     from logagent_spark.operators.textstats import duplicated_window_stats
     from logagent_spark.plans.metrics import shuffle_write_bytes
 
     df = _boilerplate_docs(spark, 3000)
 
     def run(**kw):
-        agg = duplicated_window_stats(df, "doc_id", "text", w=5, **kw).agg(
+        sink: list = []
+        agg = duplicated_window_stats(
+            df, "doc_id", "text", w=5, metrics_sink=sink, **kw
+        ).agg(
             F.sum("n_dup_windows").alias("d"), F.sum("n_windows").alias("n")
         )
         row = agg.collect()[0]
-        return row, shuffle_write_bytes(agg)
+        total = shuffle_write_bytes(agg) + sum(
+            shuffle_write_bytes(p) for p in sink
+        )
+        return row, total, sink
 
-    exact_row, exact_bytes = run()
-    pre_row, pre_bytes = run(prefilter_buckets="auto")
+    exact_row, exact_bytes, exact_sink = run()
+    pre_row, pre_bytes, pre_sink = run(prefilter_buckets="auto")
+    assert not exact_sink and len(pre_sink) == 1  # checkpoint captured
+    # the captured frame's bucket pass really moved bytes — the old
+    # accounting silently summed zero here
+    assert shuffle_write_bytes(pre_sink[0]) > 0
     assert (pre_row["d"], pre_row["n"]) == (exact_row["d"], exact_row["n"])
     assert pre_row["d"] > 0
     assert pre_bytes < exact_bytes * 0.6, (pre_bytes, exact_bytes)
