@@ -316,6 +316,70 @@ def stage_breakdown(spark, pages_path: str) -> "tuple[dict, dict]":
     return out, noise
 
 
+def floor_breakdown(spark, pages_path: str) -> dict:
+    """Decompose the headline pipeline's wall-clock floor (VERDICT r5
+    #6) inside ONE session, two interleaved visits, min per stage:
+
+      * scan_noop — read every column, noop sink (pure scan+decode);
+      * parse_enrich_noop — + parse/validate/enrich projections;
+      * multiplex_noop — + the Generate fan-out and broadcast build;
+      * full_write — the real coalesced partitionBy parquet write
+        (the headline measurement's plan).
+
+    Deltas between consecutive rows attribute the floor: everything
+    above scan_noop is expression work; full_write minus
+    multiplex_noop is encode+zstd+commit, the write-side floor the
+    2-tasks-per-core coalesce already shaved. The noop sink
+    materializes every column with zero write cost (same trick as the
+    operator rows — a count() would let Catalyst prune the work)."""
+    from logagent_spark.config import PipelineSpec
+    from logagent_spark.plans.pipeline import SINK_COL, CompiledPipeline
+    from logagent_spark.sources import from_pages
+
+    spec = PipelineSpec.from_dict(PIPELINE_SPEC, name="floor")
+    pipe = CompiledPipeline(spec)
+    out_dir = os.path.join(CACHE, "out_floor")
+    keep = ["url", "lang", "warc_ts"]
+
+    def _df():
+        return from_pages(spark.read.parquet(pages_path))
+
+    def scan():
+        spark.read.parquet(pages_path) \
+            .write.format("noop").mode("overwrite").save()
+
+    def parse():
+        pipe.transform(_df()).frame \
+            .write.format("noop").mode("overwrite").save()
+
+    def fanout():
+        pipe.multiplexed(pipe.transform(_df()), keep=keep) \
+            .write.format("noop").mode("overwrite").save()
+
+    def full():
+        out = pipe.multiplexed(pipe.transform(_df()), keep=keep)
+        out = out.coalesce(2 * spark.sparkContext.defaultParallelism)
+        out.write.mode("overwrite").partitionBy(SINK_COL).parquet(out_dir)
+
+    stages = [("scan_noop", scan), ("parse_enrich_noop", parse),
+              ("multiplex_noop", fanout), ("full_write", full)]
+    times: dict = {k: [] for k, _ in stages}
+    for _ in range(2):  # interleaved visits — never two of a kind back to back
+        shutil.rmtree(out_dir, ignore_errors=True)  # outside the clocks
+        for k, fn in stages:
+            t0 = time.monotonic()
+            fn()
+            times[k].append(time.monotonic() - t0)
+    out = {k: round(min(v), 3) for k, v in times.items()}
+    out["delta_parse_enrich"] = round(
+        out["parse_enrich_noop"] - out["scan_noop"], 3)
+    out["delta_multiplex"] = round(
+        out["multiplex_noop"] - out["parse_enrich_noop"], 3)
+    out["delta_write_commit"] = round(
+        out["full_write"] - out["multiplex_noop"], 3)
+    return out
+
+
 def _hist_operator_minima() -> dict:
     """Fastest non-suspect historical timing per operator row (the
     committed regression baseline for the >1.5x flag). Only entries
@@ -1035,6 +1099,7 @@ def main() -> None:
     n = PAGES_ROWS.get(_sf_name(), 500_000)
     pages = ensure_pages(spark, n)
     stage_times, op_noise = stage_breakdown(spark, pages)
+    floor = floor_breakdown(spark, pages)
     queries.update({k: round(v, 3) for k, v in stage_times.items()})
     op_times, op_noise2 = operator_queries(spark)
     op_noise.update(op_noise2)
@@ -1101,6 +1166,7 @@ def main() -> None:
         "knn_ivf_large_q": largeq,
         "census_prefilter": census,
         "census_excision": excision,
+        "floor_breakdown": floor,
         "grok_udf_tax": round(
             queries["parse_grok_udf"] / queries["parse_native"], 2
         ),
@@ -1153,6 +1219,7 @@ def render_bench_md(result: dict) -> str:
     largeq = result["knn_ivf_large_q"]
     census = result["census_prefilter"]
     excision = result.get("census_excision")  # absent in pre-r6 records
+    floor = result.get("floor_breakdown")     # absent in pre-r6 records
     rows = scaling["pages_rows"]
     levels = sorted(
         int(k[len("local"):-len("_sec")])
@@ -1221,6 +1288,24 @@ def render_bench_md(result: dict) -> str:
             "a fresh plan, min-of-2, spread-flagged — ADVICE r3): "
             + ", ".join(f"{k}={v}s" for k, v in queries.items())
             + "\n\n"
+            + (
+                "Pipeline floor breakdown (local[32], incremental "
+                "noop-sink plans, min of 2 interleaved visits — VERDICT "
+                "r5 #6):\n\n"
+                "| stage (cumulative plan) | sec | delta |\n"
+                "|---|---|---|\n"
+                f"| scan (all columns, noop) | {floor['scan_noop']} | "
+                f"{floor['scan_noop']} |\n"
+                "| + parse/validate/enrich (noop) | "
+                f"{floor['parse_enrich_noop']} | "
+                f"{floor['delta_parse_enrich']} |\n"
+                "| + multiplex fan-out + broadcast (noop) | "
+                f"{floor['multiplex_noop']} | {floor['delta_multiplex']} |\n"
+                "| + coalesced partitionBy parquet write | "
+                f"{floor['full_write']} | {floor['delta_write_commit']} |\n"
+                "\n"
+                if result.get("floor_breakdown") else ""
+            )
             + (
                 "Noise/regression-suspect operator rows (spread/min > "
                 "0.5 after one retry, or >1.5x the best non-suspect "
