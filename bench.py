@@ -1391,7 +1391,8 @@ def render_bench_md(result: dict) -> str:
             "(planted recall@5 = twin found; top-k recall = overlap "
             "with the exact knn_join top-5, the real quality measure): "
             + "; ".join(
-                f"{npk[6:]}/64: planted {v['planted_recall']}, topk "
+                f"{npk[6:]}/{largeq['n_centroids']}: planted "
+                f"{v['planted_recall']}, topk "
                 f"{v['topk_recall']} ({v['sec']}s)"
                 for npk, v in largeq["recall_sweep"].items()
             )

@@ -2163,10 +2163,16 @@ def q_streaming_parity(spark, sf_dir):
       RE-ADMITTED, in-batch min-id wins again), A-half duplicates at
       t=30,000 (watermark 20,000 > A's last 10,000 + ttl -> re-admitted).
       Splitting on the CONTENT hash (not doc_id) keeps a content from
-      spanning halves, so every leg has a closed-form SQL oracle.
+      spanning halves, so every leg has a closed-form SQL oracle;
+    * SHARDED exact dedup (streaming/dedup.py hash-space sharding —
+      the other r5 bounded mode): two jobs over disjoint
+      crc32(hash)%2 slices, each holding half the state, whose
+      admitted sets UNION to exactly the unsharded answer (shard is a
+      pure function of the content hash). Oracle: min-id winners over
+      all documents.
 
     Results conform to skinny (gate, key, val) rows so one driver row
-    hash-checks all four twins. Resume-contract anchor: the kafka
+    hash-checks all five twins. Resume-contract anchor: the kafka
     collector's offset replay (collector.go:230-260)."""
     from logagent_spark.streaming.dedup import streaming_dedup_exact
     from logagent_spark.streaming.pipeline import streaming_session_counts
@@ -2300,7 +2306,25 @@ def q_streaming_parity(spark, sf_dir):
         F.col("doc_id").cast("string").alias("key"),
         F.col("is_dup").cast("string").alias("val"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d)
+
+    # --- sharded dedup leg: disjoint shard jobs union to the
+    # unsharded answer (see docstring)
+    shards = [
+        _run_available_now(
+            streaming_dedup_exact(
+                _stream_table(spark, sf_dir, "documents"),
+                "doc_id", "text", n_shards=2, shard=s,
+            ),
+            f"stream_dedup_shard{s}_parity_{tag}",
+        )
+        for s in (0, 1)
+    ]
+    e = shards[0].unionByName(shards[1]).select(
+        F.lit("dedup_sharded").alias("gate"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("is_dup").cast("string").alias("val"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
 
 
 SQL_STREAMING_PARITY = (
@@ -2368,7 +2392,15 @@ SELECT 'dedup_ttl', (doc_id + 2000000)::VARCHAR,
 FROM (SELECT doc_id,
              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS ch
       FROM documents) h4
-WHERE ('0x' || substr(ch, 1, 1))::BIGINT % 2 = 0"""
+WHERE ('0x' || substr(ch, 1, 1))::BIGINT % 2 = 0
+UNION ALL
+-- sharded dedup leg: the shard-union must equal the unsharded
+-- min-id-winners answer over ALL documents
+SELECT 'dedup_sharded', doc_id::VARCHAR,
+       (doc_id <> min(doc_id) OVER (PARTITION BY ch))::VARCHAR
+FROM (SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS ch
+      FROM documents) hs"""
 )
 
 
