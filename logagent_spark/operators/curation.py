@@ -1,0 +1,234 @@
+"""Corpus-curation operators for web-scale training-data pipelines:
+benchmark decontamination, canonical-URL dedup, per-domain cap
+sampling, and token-budget selection.
+
+These are the selection/hygiene passes a Common-Crawl-style corpus goes
+through between raw routed pages and training shards (the reference
+pipeline stops at routed sinks — agent/handler/handler.go routes and
+counts, it never curates; these extend the engine past parity into the
+LLM-data territory SURVEY.md §2 reserves for the Spark build).
+
+Scale design (100 TB):
+- `decontaminate`: the benchmark shingle set (eval suites are ~10^6-10^7
+  distinct n-grams) is DISTINCT-ed and broadcast; the corpus side never
+  shuffles on shingle hash — per-doc `array_distinct` collapses repeats
+  scan-side, the broadcast hash join filters exploded hashes in the scan
+  stage, and only HIT rows (doc_id) reach the one skinny aggregation
+  exchange. A 10^9-doc corpus pays one shuffle of its contaminated
+  subset, not of its shingles.
+- `domain_cap_sample`: rank-per-host via `row_number` with a `<= cap`
+  filter, which Spark's InferWindowGroupLimit rewrites into a partial
+  WindowGroupLimit BELOW the exchange — each map task forwards at most
+  `cap` rows per host it sees, so a 10^8-page host contributes
+  O(cap * map_tasks) rows to the shuffle instead of 10^8 (the skew case
+  that motivates per-domain caps in the first place).
+- `token_budget_select`: one exchange on the group key; the running sum
+  is a single sort-based window per group. Deterministic hash order
+  (md5 of the id) makes the admitted prefix reproducible across runs
+  and cluster sizes.
+- `canonicalize_url` / `url_dedup_keep`: pure Column regex/array exprs
+  (zero UDF); dedup is one exchange on the canonical-url hash, the same
+  shape as exact content dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from logagent_spark.operators import textstats as ts
+
+# Tracking params dropped during canonicalization (the industry-standard
+# strip set: Google/Facebook/Microsoft click ids + utm campaign tags).
+TRACKING_PARAM_REGEX = r"^(utm_[A-Za-z0-9]+|fbclid|gclid|msclkid|ref)="
+
+_SCHEME = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOSTPORT = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+_PATH = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY = r"\?([^#]*)"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an http(s) URL, as one pure Column expression.
+
+    Normalizations (each observable in the round-trip tests):
+    - scheme and host lowercased;
+    - default ports (:80, :443) stripped, non-default ports kept;
+    - leading ``www.`` stripped;
+    - trailing slashes on the path stripped, empty path -> ``/``;
+    - fragment dropped;
+    - query params: tracking params (``utm_*``, ``fbclid``, ``gclid``,
+      ``msclkid``, ``ref``) and empty segments dropped, the remainder
+      sorted bytewise so param order never splits a URL's identity.
+
+    Divergence scope (documented, like operators/web.py): userinfo
+    (``user:pass@``) is treated as part of the host (the synthetic
+    corpus never emits it); IDN hosts are not punycoded.
+    """
+    scheme = F.lower(F.regexp_extract(url, _SCHEME, 1))
+    host = F.lower(F.regexp_extract(url, _HOSTPORT, 1))
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_extract(url, _PATH, 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, _QUERY, 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_REGEX),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )
+
+
+def url_host(url: Column) -> Column:
+    """Registrable host of the canonical form (port/www stripped)."""
+    host = F.lower(F.regexp_extract(url, _HOSTPORT, 1))
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def url_dedup_keep(
+    df: DataFrame, id_col: str, url_col: str
+) -> DataFrame:
+    """One winner per canonical URL (min id), with the crawl-copy count.
+
+    The re-crawl dedup pass: successive WARC snapshots of the same page
+    differ only in tracking params / param order / scheme case, so the
+    canonical form is the identity. Output: one row per canonical URL
+    with ``<id_col>`` = winner and ``n_crawls`` = copies collapsed.
+    Same single-exchange shape as exact content dedup (dedup.py:45).
+    """
+    canon = canonicalize_url(F.col(url_col)).alias("canonical_url")
+    return (
+        df.select(F.col(id_col), canon)
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_crawls"),
+        )
+    )
+
+
+def domain_cap_sample(
+    df: DataFrame, host_col: str, id_col: str, cap: int
+) -> DataFrame:
+    """Deterministic per-host document cap (RefinedWeb/FineWeb-style).
+
+    Admits at most ``cap`` docs per host, chosen by md5-hash rank (a
+    stable pseudo-random sample — re-running, or running on a different
+    cluster size, admits the SAME docs). Adds ``host_rank`` (1-based).
+
+    Scale: the ``row_number() <= cap`` filter triggers Spark's
+    InferWindowGroupLimit, inserting a partial WindowGroupLimit below
+    the exchange — map tasks forward at most ``cap`` rows per host, so
+    mega-hosts never flood the shuffle (plan-gated in test_curation).
+    """
+    order = [
+        F.md5(F.col(id_col).cast("string")).asc(),
+        F.col(id_col).asc(),
+    ]
+    w = Window.partitionBy(host_col).orderBy(*order)
+    return (
+        df.withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= cap)
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    text_col: str,
+    budget: int,
+) -> DataFrame:
+    """Admit docs per group until a token budget is exhausted.
+
+    Docs are taken in deterministic md5-hash order; a doc is admitted
+    iff the running token total INCLUDING it stays <= ``budget`` (strict
+    prefix — one oversized doc mid-prefix also ends the group's intake,
+    which keeps the rule a pure running-sum predicate both here and in
+    the SQL oracle). Adds ``n_tokens`` and ``cum_tokens``.
+
+    The source-mixing primitive: give each source a token budget in the
+    target mixture ratio and union the admitted prefixes.
+    """
+    order = [
+        F.md5(F.col(id_col).cast("string")).asc(),
+        F.col(id_col).asc(),
+    ]
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = ts.token_count(F.col(text_col))
+    return (
+        df.withColumn("n_tokens", toks)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+    )
+
+
+def shingle_hashes(text: Column, k: int = 5) -> Column:
+    """Per-doc DISTINCT md5 hashes of k-word shingles (scan-side
+    dedup before any explode, so repeated n-grams inside one doc cost
+    one row downstream, not one per occurrence)."""
+    return F.array_distinct(F.transform(ts.shingles(text, k), F.md5))
+
+
+def benchmark_shingle_set(
+    benchmark: DataFrame, text_col: str, k: int = 5
+) -> DataFrame:
+    """The distinct shingle-hash set of an eval/benchmark corpus, as a
+    1-column DataFrame ``h`` (small: broadcast it into the corpus scan)."""
+    return (
+        benchmark.select(
+            F.explode(shingle_hashes(F.col(text_col), k)).alias("h")
+        )
+        .distinct()
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per-doc count of k-gram shingles that
+    also appear in the benchmark set (0 => clean).
+
+    The n-gram-overlap rule used to scrub eval sets out of pretraining
+    corpora (the GPT-3 appendix / The-Pile methodology: a doc is
+    contaminated if any length-k token window matches a benchmark
+    window). Returns the corpus with ``n_overlap`` and ``contaminated``
+    appended; filter on ``~contaminated`` for the kept set.
+
+    Plan (gated in test_curation): benchmark set broadcast, corpus
+    shingles filtered by BroadcastHashJoin in the scan stage, one
+    aggregation exchange carrying only hit (doc_id, count) rows.
+    """
+    bench = benchmark_shingle_set(benchmark, text_col, k)
+    corpus_sh = corpus.select(
+        F.col(id_col),
+        F.explode(shingle_hashes(F.col(text_col), k)).alias("h"),
+    )
+    hits = (
+        corpus_sh.join(F.broadcast(bench), "h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        corpus.join(hits, id_col, "left")
+        .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)))
+        .withColumn("contaminated", F.col("n_overlap") > 0)
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from logagent_spark.config import PipelineSpec
+from logagent_spark.operators import curation as cu
 from logagent_spark.operators import dedup as dd
 from logagent_spark.operators import similarity as sim
 from logagent_spark.operators import textstats as ts
@@ -2561,6 +2562,207 @@ SELECT *, 'kmeans_fullprobe' AS method FROM ({SQL_SIMILARITY_TOPK})
 
 
 # ---------------------------------------------------------------------------
+# §2.8 corpus curation (decontamination / URL dedup / caps / budgets)
+
+def q_corpus_decontaminate(spark, sf_dir):
+    """Benchmark n-gram decontamination over `documents`. The benchmark
+    is PLANTED: a 10-token slice (tokens 4..13) of every 10th doc plays
+    the eval set, so the corpus provably contains its n-grams (the
+    slice's source doc and every exact dup of it). Output: every doc
+    with its count of distinct 5-gram shingles found in the benchmark
+    set, plus the contaminated flag — filter ~contaminated for the kept
+    corpus. The benchmark set is broadcast; the corpus never shuffles
+    on shingle hash (plan-gated in test_curation)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.concat_ws(
+            " ", F.slice(ts.tokens(F.col("text")), 4, 10)
+        ).alias("text")
+    )
+    out = cu.decontaminate(docs, bench, "doc_id", "text", k=5)
+    return out.select(
+        "doc_id",
+        "lang",
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        "contaminated",
+    )
+
+
+SQL_CORPUS_DECONTAMINATE = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(text, ' +'), x -> x <> '') AS t
+  FROM documents
+), bsh AS (
+  SELECT list_distinct(list_transform(
+           generate_series(1, len(list_slice(t, 4, 13)) - 4),
+           i -> md5(array_to_string(
+                  list_slice(list_slice(t, 4, 13), i, i + 4), ' ')))) AS s
+  FROM toks WHERE doc_id % 10 = 0
+), bench AS (
+  SELECT DISTINCT unnest(s) AS h FROM bsh
+), csh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(t) >= 5 THEN
+      list_transform(generate_series(1, len(t) - 4),
+                     i -> md5(array_to_string(list_slice(t, i, i + 4), ' ')))
+    ELSE [md5(array_to_string(t, ' '))] END) AS s
+  FROM toks
+), hits AS (
+  SELECT doc_id, count(*) AS n_overlap
+  FROM (SELECT doc_id, unnest(s) AS h FROM csh) c
+  JOIN bench USING (h) GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang,
+       CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       coalesce(h.n_overlap, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# Deterministic messy-URL synthesis shared VERBATIM by both engines
+# (Spark parses it via F.expr, DuckDB runs it as-is — `STRING` is a
+# valid cast target in both dialects): scheme/host case noise, default
+# and non-default ports, www., trailing slash, param-order variants,
+# tracking params, empty segments, fragments — every normalization in
+# canonicalize_url is exercised by some hex digit of md5(doc_id).
+_URL_H = "md5(cast(doc_id as STRING))"
+
+
+def _url_hc(i: int) -> str:
+    return f"substring({_URL_H}, {i}, 1)"
+
+
+_LOW8 = "('0','1','2','3','4','5','6','7')"
+SQL_SYNTH_URL = f"""concat(
+  CASE WHEN {_url_hc(1)} IN ('0','1','2','3') THEN 'HTTP'
+       WHEN {_url_hc(1)} IN ('4','5') THEN 'https' ELSE 'http' END,
+  '://',
+  CASE WHEN {_url_hc(2)} IN {_LOW8} THEN 'WWW.' ELSE '' END,
+  source, '.Example.COM',
+  CASE WHEN {_url_hc(3)} = '0' THEN ':80'
+       WHEN {_url_hc(3)} = '1' THEN ':443'
+       WHEN {_url_hc(3)} = '2' THEN ':8080' ELSE '' END,
+  '/', lang, '/item/', cast(doc_id % 7 as STRING),
+  CASE WHEN {_url_hc(4)} IN ('0','1','2','3') THEN '/' ELSE '' END,
+  '?',
+  CASE WHEN {_url_hc(5)} IN {_LOW8}
+       THEN concat('v=', cast(doc_id % 7 as STRING), '&cat=web')
+       ELSE concat('cat=web&v=', cast(doc_id % 7 as STRING)) END,
+  CASE WHEN {_url_hc(6)} IN {_LOW8} THEN '&utm_campaign=news&&' ELSE '' END,
+  CASE WHEN {_url_hc(7)} IN ('0','1','2','3') THEN '&gclid=abc123' ELSE '' END,
+  CASE WHEN {_url_hc(8)} IN {_LOW8}
+       THEN concat('#sec-', {_url_hc(9)}) ELSE '' END
+)"""
+
+
+def q_corpus_select(spark, sf_dir):
+    """Corpus selection passes in one tag-union gate, over synthesized
+    re-crawl URLs: (1) `url_keep` — one winner per canonical URL with
+    the crawl-copy count; (2) `domain_cap` — docs admitted under a
+    5-per-host cap with their hash rank; (3) `budget` — docs admitted
+    under a 600-token-per-source budget with the running total. Unified
+    schema (tag, doc_id, key, n)."""
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id", "source", "lang", "text",
+        F.expr(SQL_SYNTH_URL).alias("url"),
+    )
+    keep = cu.url_dedup_keep(urls, "doc_id", "url").select(
+        F.lit("url_keep").alias("tag"),
+        "doc_id",
+        F.col("canonical_url").alias("key"),
+        F.col("n_crawls").cast("long").alias("n"),
+    )
+    capped = cu.domain_cap_sample(
+        urls.withColumn("host", cu.url_host(F.col("url"))),
+        "host", "doc_id", cap=5,
+    ).select(
+        F.lit("domain_cap").alias("tag"),
+        "doc_id",
+        F.col("host").alias("key"),
+        F.col("host_rank").cast("long").alias("n"),
+    )
+    budget = cu.token_budget_select(
+        docs, "source", "doc_id", "text", budget=600
+    ).select(
+        F.lit("budget").alias("tag"),
+        "doc_id",
+        F.col("source").alias("key"),
+        F.col("cum_tokens").cast("long").alias("n"),
+    )
+    return keep.unionByName(capped).unionByName(budget)
+
+
+_SQL_CANON_URL = r"""
+concat(
+  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)),
+  '://',
+  regexp_replace(regexp_replace(
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+    ':(80|443)$', ''), '^www\.', ''),
+  CASE WHEN regexp_replace(regexp_extract(
+         url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+         '/+$', '') = '' THEN '/'
+       ELSE regexp_replace(regexp_extract(
+         url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+         '/+$', '') END,
+  CASE WHEN array_to_string(list_sort(list_filter(
+         string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+         p -> p <> '' AND NOT regexp_matches(
+           p, '^(utm_[A-Za-z0-9]+|fbclid|gclid|msclkid|ref)='))), '&') = ''
+       THEN ''
+       ELSE concat('?', array_to_string(list_sort(list_filter(
+         string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+         p -> p <> '' AND NOT regexp_matches(
+           p, '^(utm_[A-Za-z0-9]+|fbclid|gclid|msclkid|ref)='))), '&')) END
+)"""
+
+_SQL_URL_HOST = r"""
+regexp_replace(regexp_replace(
+  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+  ':(80|443)$', ''), '^www\.', '')"""
+
+SQL_CORPUS_SELECT = f"""
+WITH urls AS (
+  SELECT doc_id, source, lang, text, {SQL_SYNTH_URL} AS url FROM documents
+), canon AS (
+  SELECT doc_id, source,
+         {_SQL_CANON_URL} AS canonical_url,
+         {_SQL_URL_HOST} AS host
+  FROM urls
+)
+SELECT 'url_keep' AS tag, min(doc_id) AS doc_id, canonical_url AS key,
+       CAST(count(*) AS BIGINT) AS n
+FROM canon GROUP BY canonical_url
+UNION ALL
+SELECT 'domain_cap' AS tag, doc_id, host AS key, CAST(rnk AS BIGINT) AS n
+FROM (
+  SELECT doc_id, host,
+         row_number() OVER (
+           PARTITION BY host
+           ORDER BY md5(cast(doc_id AS STRING)), doc_id) AS rnk
+  FROM canon
+) WHERE rnk <= 5
+UNION ALL
+SELECT 'budget' AS tag, doc_id, source AS key, CAST(cum AS BIGINT) AS n
+FROM (
+  SELECT doc_id, source,
+         sum(nt) OVER (
+           PARTITION BY source
+           ORDER BY md5(cast(doc_id AS STRING)), doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM (
+    SELECT doc_id, source,
+           len(list_filter(string_split_regex(text, ' +'),
+                           x -> x <> '')) AS nt
+    FROM documents
+  )
+) WHERE cum <= 600
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2572,8 +2774,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     collectors); template render is covered by route_rendered,
     brute-force top-k by knn_join/knn_join_ivf, plain region revenue by
     the bucketed variant, and per-doc simhash values by pytest
-    (test_dedup) under the pairs gate."""
+    (test_dedup) under the pairs gate. The r6 curation gates displaced
+    tpch_pricing_summary / tpch_top_orders (5-round driver veterans,
+    still oracle-verified in tests/test_retired_gates.py)."""
     return {
+        # --- new this round (r6): corpus curation ---
+        "corpus_decontaminate": q_corpus_decontaminate,
+        "corpus_select": q_corpus_select,
         # --- new / never driver-verified this code (r4) ---
         "streaming_parity": q_streaming_parity,
         "knn_join_ivf": q_knn_join_ivf,
@@ -2625,13 +2832,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_resume": q_checkpoint_resume,
         "sessionize": q_sessionize,
         "dedup_cluster_keep": q_dedup_cluster_keep,
-        "tpch_pricing_summary": q_tpch_pricing_summary,
-        "tpch_top_orders": q_tpch_top_orders,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- new this round (r6): corpus curation ---
+        "corpus_decontaminate": SQL_CORPUS_DECONTAMINATE,
+        "corpus_select": SQL_CORPUS_SELECT,
         # --- new / never driver-verified this code (r4) ---
         "streaming_parity": SQL_STREAMING_PARITY,
         "knn_join_ivf": SQL_KNN_JOIN,
@@ -2686,6 +2894,4 @@ def oracle_sql() -> dict[str, str]:
         "checkpoint_resume": SQL_CHECKPOINT_RESUME,
         "sessionize": SQL_SESSIONIZE,
         "dedup_cluster_keep": SQL_DEDUP_CLUSTER_KEEP,
-        "tpch_pricing_summary": SQL_TPCH_PRICING,
-        "tpch_top_orders": SQL_TPCH_TOP_ORDERS,
     }

@@ -1,0 +1,160 @@
+"""Corpus-curation operators: canonical-URL semantics, per-host caps,
+token budgets, and benchmark decontamination — correctness plus the
+plan shapes the 100 TB design depends on (WindowGroupLimit below the
+cap's exchange, broadcast of the benchmark shingle set)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from logagent_spark.operators import curation as cu
+from logagent_spark.operators import textstats as ts
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _canon(spark, url: str) -> str:
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(
+        cu.canonicalize_url(F.col("url")).alias("c")
+    ).collect()[0][0]
+
+
+CANON_CASES = [
+    # scheme + host case, default port, fragment
+    ("HTTP://WWW.Example.COM:80/a/b#frag", "http://example.com/a/b"),
+    ("https://site.org:443/x", "https://site.org/x"),
+    # non-default port survives
+    ("http://site.org:8080/x", "http://site.org:8080/x"),
+    # trailing slashes, empty path
+    ("http://a.com///", "http://a.com/"),
+    ("http://a.com", "http://a.com/"),
+    # param sort + tracking strip + empty segments
+    (
+        "http://a.com/p?z=1&a=2&utm_source=rss&&fbclid=XYZ",
+        "http://a.com/p?a=2&z=1",
+    ),
+    ("http://a.com/p?utm_campaign=x&gclid=1&ref=tw", "http://a.com/p"),
+    # a param whose VALUE mentions a tracking key is kept
+    ("http://a.com/p?q=utm_source", "http://a.com/p?q=utm_source"),
+    # www stripped only as a label prefix
+    ("http://wwwx.com/p", "http://wwwx.com/p"),
+]
+
+
+@pytest.mark.parametrize("url,want", CANON_CASES)
+def test_canonicalize_url_cases(spark, url, want):
+    assert _canon(spark, url) == want
+
+
+def test_canonicalize_url_idempotent(spark):
+    for url, _ in CANON_CASES:
+        once = _canon(spark, url)
+        assert _canon(spark, once) == once
+
+
+def test_url_dedup_keep_collapses_recrawls(spark):
+    rows = [
+        (1, "HTTP://WWW.A.com:80/page?b=2&a=1#x"),
+        (2, "http://a.com/page/?a=1&b=2&utm_source=rss"),
+        (3, "http://a.com/other"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {
+        r["canonical_url"]: (r["doc_id"], r["n_crawls"])
+        for r in cu.url_dedup_keep(df, "doc_id", "url").collect()
+    }
+    assert out["http://a.com/page?a=1&b=2"] == (1, 2)
+    assert out["http://a.com/other"] == (3, 1)
+
+
+def test_domain_cap_sample_caps_and_is_deterministic(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.col("source").alias("host")
+    )
+    a = cu.domain_cap_sample(docs, "host", "doc_id", cap=5)
+    per_host = a.groupBy("host").count().collect()
+    assert per_host and all(r["count"] <= 5 for r in per_host)
+    ids = sorted(r["doc_id"] for r in a.collect())
+    b = cu.domain_cap_sample(docs, "host", "doc_id", cap=5)
+    assert sorted(r["doc_id"] for r in b.collect()) == ids
+
+
+def test_domain_cap_plan_has_window_group_limit(spark):
+    """The <= cap filter must become a partial WindowGroupLimit BELOW
+    the exchange (map-side cap) — the property that keeps mega-hosts
+    from flooding the shuffle at corpus scale."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.col("source").alias("host")
+    )
+    plan = _plan(cu.domain_cap_sample(docs, "host", "doc_id", cap=5))
+    assert "WindowGroupLimit" in plan
+    partial = plan.split("Exchange")[-1]  # below the (last) exchange
+    assert "WindowGroupLimit" in partial and "Partial" in partial
+
+
+def test_token_budget_select_is_hash_order_prefix(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = cu.token_budget_select(
+        docs, "source", "doc_id", "text", budget=600
+    ).collect()
+    assert out
+    full = docs.select(
+        "doc_id", "source",
+        ts.token_count(F.col("text")).alias("nt"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    ).collect()
+    by_src: dict[str, list] = {}
+    for r in full:
+        by_src.setdefault(r["source"], []).append(r)
+    admitted = {r["doc_id"]: r for r in out}
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: (r["h"], r["doc_id"]))
+        cum = 0
+        for r in rows:
+            cum += r["nt"]
+            if cum <= 600:
+                got = admitted.pop(r["doc_id"])
+                assert got["cum_tokens"] == cum and got["n_tokens"] == r["nt"]
+            else:
+                break  # strict prefix: nothing later in this group admits
+    assert not admitted  # nothing admitted outside the per-group prefixes
+
+
+def test_decontaminate_counts_and_clean_docs(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated text with no benchmark overlap here"),
+            (3, "the quick brown fox jumps elsewhere entirely now friend"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in cu.decontaminate(
+            corpus, bench, "doc_id", "text", k=5
+        ).collect()
+    }
+    # doc 1 contains all 5 benchmark 5-grams; doc 3 only the first one
+    assert out[1] == (5, True)
+    assert out[2] == (0, False)
+    assert out[3] == (1, True)
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select("text")
+    out = cu.decontaminate(docs, bench, "doc_id", "text", k=5)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    # the corpus-side shingle stream must never sort-merge on the hash
+    assert "SortMergeJoin [h" not in plan

@@ -28,6 +28,10 @@ RETIRED = [
      q.SQL_TPCH_REGION_REVENUE),
     ("dedup_simhash", q.q_dedup_simhash, q.SQL_DEDUP_SIMHASH),
     ("similarity_topk", q.q_similarity_topk, q.SQL_SIMILARITY_TOPK),
+    # r6: displaced by the corpus-curation gates
+    ("tpch_pricing_summary", q.q_tpch_pricing_summary,
+     q.SQL_TPCH_PRICING),
+    ("tpch_top_orders", q.q_tpch_top_orders, q.SQL_TPCH_TOP_ORDERS),
 ]
 
 
