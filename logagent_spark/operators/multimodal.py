@@ -1,11 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-(deterministic fake behind `fake=True`, NotImplementedError otherwise) —
-but everything Spark-side is real and tested: the schema, the Arrow batch
-shape through mapInPandas, the partitioning of binary-heavy frames, and
-the metadata extraction expressions.
+The container has no image/audio codec LIBRARIES, but PNG/BMP/WAV need
+none (stdlib zlib/struct + numpy — operators/codecs.py), so the DECODE
+step is REAL for those formats: `fake=False` decodes actual pixel/sample
+arrays and emits true width/height/channel sums; payloads in formats
+that do need a codec (JPEG/GIF/video) yield NULL features per row — a
+100 TB run must not die on one undecodable blob (same philosophy as the
+dead-letter route). The deterministic fake path (`fake=True`) remains
+for plumbing-only tests. Everything Spark-side is real and tested
+either way: the schema, the Arrow batch shape through mapInPandas, the
+partitioning of binary-heavy frames, and the metadata extraction
+expressions.
 
 Scale notes: binary payloads ride in parquet as byte arrays; metadata
 extraction (`sniff_format`, sizes) is a Column expression over the first
@@ -31,6 +37,7 @@ MAGIC = {
     "riff": b"RIFF",   # wav/avi containers
     "html": b"<htm",
     "pdf": b"%PDF",
+    "bmp": b"BM",
 }
 
 
@@ -60,6 +67,8 @@ def with_media_meta(df: DataFrame, bin_col: str = "payload") -> DataFrame:
 IMAGE_FEATURES_SCHEMA = T.StructType([
     T.StructField("width", T.IntegerType()),
     T.StructField("height", T.IntegerType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("channel_sum", T.LongType()),
     T.StructField("mean_luma", T.DoubleType()),
 ])
 
@@ -67,20 +76,59 @@ IMAGE_FEATURES_SCHEMA = T.StructType([
 def decode_image_batch(payloads: pd.Series, fake: bool) -> pd.DataFrame:
     """Decode one Arrow batch of image payloads -> feature rows.
 
-    Real decode requires an image codec (Pillow/cv2 — not in this
-    container). `fake=True` derives deterministic pseudo-features from
-    the bytes so the distributed plumbing is testable end-to-end."""
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires an image codec; run with fake=True "
-            "or install a decoder on the executors"
-        )
-    # One pass extracts the ragged byte heads (unavoidable per-row
-    # slicing); ALL arithmetic is vectorized numpy over the batch —
-    # no per-row pandas writes in the loop.
+    `fake=False` REALLY decodes PNG and BMP (operators/codecs.py —
+    stdlib zlib + numpy, no codec library needed): width/height/
+    n_channels are the true image dims, channel_sum the exact integer
+    sum over every channel sample (so a SQL oracle can re-derive it),
+    mean_luma = channel_sum / samples. A payload in a format that needs
+    a real codec (JPEG/GIF), or undecodable bytes, yields NULLs for
+    that row — never an exception that would kill the job.
+
+    `fake=True` derives deterministic pseudo-features from the byte
+    head so plumbing tests run on arbitrary blobs."""
+    from logagent_spark.operators import codecs
+
     raw = payloads.to_numpy(dtype=object)
     n = len(raw)
     present = np.zeros(n, dtype=bool)
+    if not fake:
+        width = np.zeros(n, dtype=np.int64)
+        height = np.zeros(n, dtype=np.int64)
+        nchan = np.zeros(n, dtype=np.int64)
+        csum = np.zeros(n, dtype=np.int64)
+        for i, p in enumerate(raw):
+            if p is None:
+                continue
+            b = bytes(p)
+            try:
+                if b[:4] == MAGIC["png"]:
+                    img = codecs.decode_png(b)
+                elif b[:2] == b"BM":
+                    img = codecs.decode_bmp(b)
+                else:
+                    continue
+            except ValueError:
+                continue
+            present[i] = True
+            height[i], width[i] = img.shape[:2]
+            nchan[i] = 1 if img.ndim == 2 else img.shape[2]
+            csum[i] = int(img.sum(dtype=np.int64))
+        luma = csum / np.maximum(width * height * nchan, 1)
+        out = pd.DataFrame(
+            {
+                "width": pd.array(width, dtype="Int32"),
+                "height": pd.array(height, dtype="Int32"),
+                "n_channels": pd.array(nchan, dtype="Int32"),
+                "channel_sum": pd.array(csum, dtype="Int64"),
+                "mean_luma": luma,
+            },
+            index=payloads.index,
+        )
+        out.loc[~present, list(out.columns)] = None
+        return out
+    # fake: one pass extracts the ragged byte heads (unavoidable per-row
+    # slicing); ALL arithmetic is vectorized numpy over the batch —
+    # no per-row pandas writes in the loop.
     head8 = np.zeros(n, dtype=np.uint64)
     lumsum = np.zeros(n, dtype=np.int64)
     for i, p in enumerate(raw):
@@ -97,11 +145,13 @@ def decode_image_batch(payloads: pd.Series, fake: bool) -> pd.DataFrame:
         {
             "width": pd.array(np.where(present, width, 0), dtype="Int32"),
             "height": pd.array(np.where(present, height, 0), dtype="Int32"),
+            "n_channels": pd.array(np.where(present, 3, 0), dtype="Int32"),
+            "channel_sum": pd.array(lumsum, dtype="Int64"),
             "mean_luma": luma,
         },
         index=payloads.index,
     )
-    out.loc[~present, ["width", "height", "mean_luma"]] = None
+    out.loc[~present, list(out.columns)] = None
     return out
 
 
@@ -118,6 +168,82 @@ def extract_image_features(
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = decode_image_batch(pdf[bin_col], fake)
+            yield pd.concat(
+                [pdf.reset_index(drop=True), feats.reset_index(drop=True)],
+                axis=1,
+            )
+
+    return df.mapInPandas(op, schema=out_schema)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_audio_channels", T.IntegerType()),
+    T.StructField("sum_sq", T.LongType()),
+    T.StructField("zero_crossings", T.LongType()),
+    T.StructField("duration_s", T.DoubleType()),
+])
+
+
+def decode_audio_batch(payloads: pd.Series) -> pd.DataFrame:
+    """REAL WAV/PCM decode for one Arrow batch (codecs.decode_wav) ->
+    per-payload features. sum_sq and zero_crossings are exact integers
+    over channel-0 samples (zc counts sign-bit flips between adjacent
+    samples, >= 0 vs < 0) so a SQL oracle can re-derive both;
+    non-WAV/undecodable payloads yield NULLs for the row."""
+    from logagent_spark.operators import codecs
+
+    raw = payloads.to_numpy(dtype=object)
+    n = len(raw)
+    present = np.zeros(n, dtype=bool)
+    nsamp = np.zeros(n, dtype=np.int64)
+    rate = np.zeros(n, dtype=np.int64)
+    nchan = np.zeros(n, dtype=np.int64)
+    sumsq = np.zeros(n, dtype=np.int64)
+    zc = np.zeros(n, dtype=np.int64)
+    for i, p in enumerate(raw):
+        if p is None:
+            continue
+        try:
+            r, samples = codecs.decode_wav(bytes(p))
+        except ValueError:
+            continue
+        present[i] = True
+        nsamp[i], nchan[i] = samples.shape
+        rate[i] = r
+        ch0 = samples[:, 0].astype(np.int64)
+        sumsq[i] = int((ch0 * ch0).sum())
+        neg = ch0 < 0
+        zc[i] = int((neg[1:] != neg[:-1]).sum())
+    dur = nsamp / np.maximum(rate, 1)
+    out = pd.DataFrame(
+        {
+            "n_samples": pd.array(nsamp, dtype="Int64"),
+            "sample_rate": pd.array(rate, dtype="Int32"),
+            "n_audio_channels": pd.array(nchan, dtype="Int32"),
+            "sum_sq": pd.array(sumsq, dtype="Int64"),
+            "zero_crossings": pd.array(zc, dtype="Int64"),
+            "duration_s": dur,
+        },
+        index=payloads.index,
+    )
+    out.loc[~present, list(out.columns)] = None
+    return out
+
+
+def extract_audio_features(df: DataFrame, bin_col: str = "payload"
+                           ) -> DataFrame:
+    """mapInPandas audio feature extraction (real WAV decode): schema =
+    input + AUDIO_FEATURES_SCHEMA. Same batch/partitioning notes as
+    extract_image_features."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + list(AUDIO_FEATURES_SCHEMA.fields)
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = decode_audio_batch(pdf[bin_col])
             yield pd.concat(
                 [pdf.reset_index(drop=True), feats.reset_index(drop=True)],
                 axis=1,

@@ -2506,21 +2506,179 @@ FROM documents d JOIN (
 """
 
 
+def _synth_media_payload(doc_ids: "list[int]") -> "list[bytearray]":
+    """Deterministic media payloads from a closed-form formula, REAL
+    encoders (operators/codecs.py):
+
+    - doc_id % 3 == 0 -> 24-bit BMP, w=4+d%13, h=4+(3d)%11,
+      pixel(x,y,ch) = (7d + 3x + 5y + 11ch) % 256 (RGB);
+    - doc_id % 3 == 1 -> PNG, same dims/pixels; color type cycles
+      gray/RGB/RGBA by (d//3)%3; scanline filters cycle 0..4 so every
+      unfilter path runs inside the driver gate;
+    - doc_id % 3 == 2 -> mono 16-bit WAV, n=64+d%97 samples at
+      rate=8000+1000*(d%5), s[i] = ((31d + 17i)*257) % 65536 - 32768.
+
+    The DuckDB oracle recomputes the pixel/sample SUMS from the same
+    formula without ever touching bytes — so the gate proves
+    decode(encode(formula)) == formula through two independent paths."""
+    import numpy as np
+
+    from logagent_spark.operators import codecs
+
+    out = []
+    for d in doc_ids:
+        kind = d % 3
+        if kind == 2:
+            n = 64 + d % 97
+            i = np.arange(n, dtype=np.int64)
+            s = ((31 * d + 17 * i) * 257) % 65536 - 32768
+            out.append(bytearray(codecs.encode_wav(
+                s.astype(np.int16), 8000 + 1000 * (d % 5))))
+            continue
+        w, h = 4 + d % 13, 4 + (3 * d) % 11
+        nch = 3 if kind == 0 else (1, 3, 4)[(d // 3) % 3]
+        y, x, c = np.mgrid[0:h, 0:w, 0:nch]
+        img = ((7 * d + 3 * x + 5 * y + 11 * c) % 256).astype(np.uint8)
+        if kind == 0:
+            out.append(bytearray(codecs.encode_bmp(img)))
+        elif nch == 1:
+            out.append(bytearray(
+                codecs.encode_png(img[:, :, 0], filters=[0, 1, 2, 3, 4])))
+        else:
+            out.append(bytearray(
+                codecs.encode_png(img, filters=[0, 1, 2, 3, 4])))
+    return out
+
+
+def _synth_media_df(spark, sf_dir):
+    """(doc_id, payload binary) — payloads built batch-wise in
+    mapInPandas from _synth_media_payload."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": _synth_media_payload(ids)}
+            )
+
+    return _t(spark, sf_dir, "documents").select("doc_id").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
 def q_multimodal_pipeline(spark, sf_dir):
-    """Binary-column metadata (sniff/size/digest, pure Column exprs)
-    JOINED to the frame-sampling plan — one driver row for the whole
-    multimodal plumbing path."""
+    """The whole multimodal path in one tag-union gate:
+
+    - `plumb`: metadata exprs (sniff/size/digest) joined to the
+      frame-sampling plan — n1=frame_idx, n2=byte_offset,
+      n3=media_bytes, s1=format, s2=digest;
+    - `img`: REAL PNG+BMP decode (codecs.py through
+      extract_image_features(fake=False)) of formula-synthesized
+      payloads — n1=width, n2=height, n3=exact channel_sum,
+      n4=n_channels, s1=sniffed format;
+    - `wav`: REAL WAV/PCM decode (extract_audio_features) —
+      n1=n_samples, n2=sample_rate, n3=sum of squared samples,
+      n4=zero crossings, s1=sniffed container.
+
+    The img/wav oracles recompute the sums from the synth formula in
+    SQL — an engine-independent check that the decoders invert the
+    encoders exactly (all gate values are exact integers)."""
+    from logagent_spark.operators.multimodal import (
+        extract_audio_features,
+        extract_image_features,
+        sniff_format,
+    )
+
     meta = q_multimodal_meta(spark, sf_dir)
     frames = q_multimodal_frames(spark, sf_dir)
-    return frames.join(meta, "doc_id")
+    plumb = frames.join(meta, "doc_id").select(
+        F.lit("plumb").alias("tag"),
+        "doc_id",
+        F.col("frame_idx").alias("n1"),
+        F.col("byte_offset").alias("n2"),
+        F.col("media_bytes").cast("long").alias("n3"),
+        F.lit(0).cast("long").alias("n4"),
+        F.col("media_format").alias("s1"),
+        F.col("media_digest").alias("s2"),
+    )
+    media = _synth_media_df(spark, sf_dir)
+    img = extract_image_features(
+        media.filter(F.col("doc_id") % 3 < 2), fake=False
+    ).select(
+        F.lit("img").alias("tag"),
+        "doc_id",
+        F.col("width").cast("long").alias("n1"),
+        F.col("height").cast("long").alias("n2"),
+        F.col("channel_sum").alias("n3"),
+        F.col("n_channels").cast("long").alias("n4"),
+        sniff_format(F.col("payload")).alias("s1"),
+        F.lit("").alias("s2"),
+    )
+    wav = extract_audio_features(
+        media.filter(F.col("doc_id") % 3 == 2)
+    ).select(
+        F.lit("wav").alias("tag"),
+        "doc_id",
+        F.col("n_samples").alias("n1"),
+        F.col("sample_rate").cast("long").alias("n2"),
+        F.col("sum_sq").alias("n3"),
+        F.col("zero_crossings").alias("n4"),
+        sniff_format(F.col("payload")).alias("s1"),
+        F.lit("").alias("s2"),
+    )
+    return plumb.unionByName(img).unionByName(wav)
 
 
 SQL_MULTIMODAL_PIPELINE = f"""
 WITH meta AS ({SQL_MULTIMODAL_META}),
-frames AS ({SQL_MULTIMODAL_FRAMES})
-SELECT frames.doc_id, frame_idx, byte_offset,
-       media_bytes, media_format, media_digest
+frames AS ({SQL_MULTIMODAL_FRAMES}),
+img_params AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + (3 * doc_id) % 11 AS h,
+         CASE WHEN doc_id % 3 = 0 THEN 3
+              ELSE CASE (doc_id // 3) % 3
+                   WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+         END AS c,
+         CASE WHEN doc_id % 3 = 0 THEN 'bmp' ELSE 'png' END AS fmt
+  FROM documents WHERE doc_id % 3 < 2
+),
+wav_params AS (
+  SELECT doc_id, 64 + doc_id % 97 AS n,
+         8000 + 1000 * (doc_id % 5) AS rate
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT 'plumb' AS tag, frames.doc_id, frame_idx AS n1, byte_offset AS n2,
+       CAST(media_bytes AS BIGINT) AS n3, CAST(0 AS BIGINT) AS n4,
+       media_format AS s1, media_digest AS s2
 FROM frames JOIN meta USING (doc_id)
+UNION ALL
+-- img leg: the pixel formula summed directly — never touches bytes
+SELECT 'img' AS tag, p.doc_id, CAST(p.w AS BIGINT) AS n1,
+       CAST(p.h AS BIGINT) AS n2,
+       CAST(sum((7 * p.doc_id + 3 * tx.x + 5 * ty.y + 11 * tc.ch) % 256)
+            AS BIGINT) AS n3,
+       CAST(p.c AS BIGINT) AS n4, p.fmt AS s1, '' AS s2
+FROM img_params p,
+     LATERAL unnest(range(0, p.w)) AS tx(x),
+     LATERAL unnest(range(0, p.h)) AS ty(y),
+     LATERAL unnest(range(0, p.c)) AS tc(ch)
+GROUP BY p.doc_id, p.w, p.h, p.c, p.fmt
+UNION ALL
+-- wav leg: the sample formula summed directly
+SELECT 'wav' AS tag, p.doc_id, CAST(p.n AS BIGINT) AS n1,
+       CAST(p.rate AS BIGINT) AS n2,
+       CAST(sum(s.v * s.v) AS BIGINT) AS n3,
+       CAST(sum(CASE WHEN s.i > 0 AND
+                          ((s.v >= 0) <> (s.prev >= 0)) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n4,
+       'riff' AS s1, '' AS s2
+FROM wav_params p, LATERAL (
+  SELECT ti.i,
+         ((31 * p.doc_id + 17 * ti.i) * 257) % 65536 - 32768 AS v,
+         ((31 * p.doc_id + 17 * (ti.i - 1)) * 257) % 65536 - 32768 AS prev
+  FROM unnest(range(0, p.n)) AS ti(i)
+) s
+GROUP BY p.doc_id, p.n, p.rate
 """
 
 

@@ -51,12 +51,65 @@ def test_fake_image_features_deterministic(bin_df):
     assert a[6] == (None, None, None)
 
 
-def test_real_decode_raises(bin_df):
-    with pytest.raises(Exception) as exc:
-        mm.extract_image_features(bin_df, fake=False).collect()
-    assert "NotImplementedError" in str(exc.value) or isinstance(
-        exc.value, NotImplementedError
-    )
+def test_real_decode_png_bmp_through_spark(spark):
+    """fake=False REALLY decodes PNG/BMP payloads (codecs.py) through
+    the mapInPandas path; codec-needing formats yield NULL rows."""
+    import numpy as np
+
+    from logagent_spark.operators import codecs as C
+
+    rng = np.random.default_rng(5)
+    png_img = rng.integers(0, 256, (6, 7, 3), dtype=np.uint8)
+    gray_img = rng.integers(0, 256, (4, 5), dtype=np.uint8)
+    bmp_img = rng.integers(0, 256, (3, 9, 3), dtype=np.uint8)
+    rows = [
+        (0, bytearray(C.encode_png(png_img, filters=[0, 1, 2, 3, 4]))),
+        (1, bytearray(C.encode_png(gray_img, filters=4))),
+        (2, bytearray(C.encode_bmp(bmp_img))),
+        (3, bytearray(b"\xff\xd8\xff\xe0" + b"jpeg-needs-a-codec")),
+        # cut into the IDAT chunk itself ([-7] would only drop IEND,
+        # which a lenient decoder forgives)
+        (4, bytearray(C.encode_png(png_img)[:-20])),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r["id"]: r for r in
+           mm.extract_image_features(df, fake=False).collect()}
+    for i, img in [(0, png_img), (1, gray_img), (2, bmp_img)]:
+        assert got[i]["width"] == img.shape[1]
+        assert got[i]["height"] == img.shape[0]
+        assert got[i]["n_channels"] == (1 if img.ndim == 2 else img.shape[2])
+        assert got[i]["channel_sum"] == int(img.sum(dtype="int64"))
+        assert abs(got[i]["mean_luma"] - img.mean()) < 1e-9
+    for i in (3, 4, 5):  # codec-needing / corrupt / null -> NULL features
+        assert got[i]["width"] is None and got[i]["channel_sum"] is None
+
+
+def test_real_audio_features_through_spark(spark):
+    import numpy as np
+
+    from logagent_spark.operators import codecs as C
+
+    rng = np.random.default_rng(6)
+    mono = rng.integers(-32768, 32768, 50, dtype=np.int16)
+    stereo = rng.integers(-32768, 32768, (30, 2), dtype=np.int16)
+    rows = [
+        (0, bytearray(C.encode_wav(mono, 8000))),
+        (1, bytearray(C.encode_wav(stereo, 44100))),
+        (2, bytearray(b"RIFF....AVI not audio")),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r["id"]: r for r in mm.extract_audio_features(df).collect()}
+    ch0 = mono.astype("int64")
+    neg = ch0 < 0
+    assert got[0]["n_samples"] == 50
+    assert got[0]["sample_rate"] == 8000
+    assert got[0]["sum_sq"] == int((ch0 * ch0).sum())
+    assert got[0]["zero_crossings"] == int((neg[1:] != neg[:-1]).sum())
+    assert abs(got[0]["duration_s"] - 50 / 8000) < 1e-12
+    assert got[1]["n_audio_channels"] == 2
+    assert got[2]["n_samples"] is None and got[3]["n_samples"] is None
 
 
 def test_frame_sample_plan(bin_df):
