@@ -29,12 +29,19 @@ Scale design (100 TB):
 - `canonicalize_url` / `url_dedup_keep`: pure Column regex/array exprs
   (zero UDF); dedup is one exchange on the canonical-url hash, the same
   shape as exact content dedup.
+- `pack_greedy`: one exchange on (group, shard), then a sequential
+  first-fit fold per task (no window-function closed form exists for a
+  capacity-reset running sum); `n_shards` bounds the per-task fold so a
+  mega-group never serializes into one task.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from logagent_spark.operators import textstats as ts
@@ -175,6 +182,80 @@ def token_budget_select(
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= budget)
     )
+
+
+def pack_greedy(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    text_col: str,
+    max_len: int,
+    n_shards: int = 1,
+) -> DataFrame:
+    """Greedy sequence packing: fold docs into fixed-token-length
+    training examples (T5/GPT-style packing), first-fit-in-order.
+
+    Docs are taken per group in deterministic md5-hash order (the same
+    order ``token_budget_select`` admits in); a doc joins the current
+    pack iff the pack's token fill INCLUDING it stays <= ``max_len``,
+    else it opens the next pack. A single doc longer than ``max_len``
+    gets a pack of its own (over-full, for the caller to truncate/split
+    — packing must not silently drop text). Appends ``n_tokens``,
+    ``pack_id`` (0-based within the group/shard) and ``pack_fill`` (the
+    pack's running token total through this doc).
+
+    The fold is sequential by construction (each boundary depends on
+    the previous one — no window-function closed form), so it runs as
+    ONE applyInPandas pass per (group, shard): one exchange on the
+    grouping key, then an O(rows) in-task fold over Arrow batches.
+    ``n_shards > 1`` splits big groups deterministically by id-hash
+    (``pack_shard`` column) so no task folds a whole mega-group; pack
+    ids are then unique per (group, shard) tuple — globally usable
+    without coordination, at the cost of at most one under-full tail
+    pack per shard (how production packers shard too)."""
+    toks = ts.token_count(F.col(text_col))
+    base = (
+        df.withColumn("n_tokens", toks)
+        .withColumn("_ord", F.md5(F.col(id_col).cast("string")))
+    )
+    keys = [group_col]
+    if n_shards > 1:
+        shard = F.pmod(
+            F.conv(F.substring(F.col("_ord"), 1, 8), 16, 10).cast("long"),
+            F.lit(n_shards),
+        ).cast("int")
+        base = base.withColumn("pack_shard", shard)
+        keys.append("pack_shard")
+    out_fields = [f for f in base.schema.fields if f.name != "_ord"]
+    out_schema = T.StructType(
+        out_fields
+        + [
+            T.StructField("pack_id", T.LongType()),
+            T.StructField("pack_fill", T.LongType()),
+        ]
+    )
+    id_name, max_cap = id_col, int(max_len)
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["_ord", id_name], kind="mergesort"
+        ).reset_index(drop=True)
+        t = pdf["n_tokens"].to_numpy(dtype=np.int64)
+        pack = np.zeros(len(t), dtype=np.int64)
+        fill = np.zeros(len(t), dtype=np.int64)
+        p, f = -1, 0
+        for i in range(len(t)):
+            ti = int(t[i])
+            if p < 0 or f + ti > max_cap:
+                p, f = p + 1, ti
+            else:
+                f += ti
+            pack[i], fill[i] = p, f
+        pdf["pack_id"] = pack
+        pdf["pack_fill"] = fill
+        return pdf.drop(columns=["_ord"])
+
+    return base.groupBy(*keys).applyInPandas(fold, schema=out_schema)
 
 
 def shingle_hashes(text: Column, k: int = 5) -> Column:

@@ -2819,7 +2819,10 @@ def q_corpus_select(spark, sf_dir):
     re-crawl URLs: (1) `url_keep` — one winner per canonical URL with
     the crawl-copy count; (2) `domain_cap` — docs admitted under a
     5-per-host cap with their hash rank; (3) `budget` — docs admitted
-    under a 600-token-per-source budget with the running total. Unified
+    under a 600-token-per-source budget with the running total; (4)
+    `pack` — every doc's greedy 120-token pack assignment per source
+    (the oracle replays the sequential first-fit fold with a recursive
+    CTE — each iteration advances every source by one doc). Unified
     schema (tag, doc_id, key, n)."""
     docs = _t(spark, sf_dir, "documents")
     urls = docs.select(
@@ -2849,7 +2852,15 @@ def q_corpus_select(spark, sf_dir):
         F.col("source").alias("key"),
         F.col("cum_tokens").cast("long").alias("n"),
     )
-    return keep.unionByName(capped).unionByName(budget)
+    packed = cu.pack_greedy(
+        docs, "source", "doc_id", "text", max_len=120
+    ).select(
+        F.lit("pack").alias("tag"),
+        "doc_id",
+        F.col("source").alias("key"),
+        F.col("pack_id").cast("long").alias("n"),
+    )
+    return keep.unionByName(capped).unionByName(budget).unionByName(packed)
 
 
 _SQL_CANON_URL = r"""
@@ -2882,13 +2893,36 @@ regexp_replace(regexp_replace(
   ':(80|443)$', ''), '^www\.', '')"""
 
 SQL_CORPUS_SELECT = f"""
-WITH urls AS (
+WITH RECURSIVE urls AS (
   SELECT doc_id, source, lang, text, {SQL_SYNTH_URL} AS url FROM documents
 ), canon AS (
   SELECT doc_id, source,
          {_SQL_CANON_URL} AS canonical_url,
          {_SQL_URL_HOST} AS host
   FROM urls
+), ordered AS (
+  SELECT doc_id, source, nt,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(cast(doc_id AS STRING)), doc_id) AS rn
+  FROM (
+    SELECT doc_id, source,
+           len(list_filter(string_split_regex(text, ' +'),
+                           x -> x <> '')) AS nt
+    FROM documents
+  )
+), packed AS (
+  -- sequential first-fit fold, one doc per source per iteration
+  SELECT source, rn, doc_id, nt, nt AS fill, CAST(0 AS BIGINT) AS pack_id
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.source, o.rn, o.doc_id, o.nt,
+         CASE WHEN p.fill + o.nt > 120 THEN o.nt
+              ELSE p.fill + o.nt END,
+         CASE WHEN p.fill + o.nt > 120 THEN p.pack_id + 1
+              ELSE p.pack_id END
+  FROM packed p JOIN ordered o
+    ON o.source = p.source AND o.rn = p.rn + 1
 )
 SELECT 'url_keep' AS tag, min(doc_id) AS doc_id, canonical_url AS key,
        CAST(count(*) AS BIGINT) AS n
@@ -2917,6 +2951,9 @@ FROM (
     FROM documents
   )
 ) WHERE cum <= 600
+UNION ALL
+SELECT 'pack' AS tag, doc_id, source AS key, CAST(pack_id AS BIGINT) AS n
+FROM packed
 """
 
 

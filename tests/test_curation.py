@@ -158,3 +158,89 @@ def test_decontaminate_plan_broadcasts_benchmark(spark):
     assert "BroadcastHashJoin" in plan
     # the corpus-side shingle stream must never sort-merge on the hash
     assert "SortMergeJoin [h" not in plan
+
+
+# ---------------------------------------------------------------------------
+# pack_greedy
+
+
+def _packing_df(spark, rows):
+    return spark.createDataFrame(rows, "grp string, doc_id long, text string")
+
+
+def test_pack_greedy_first_fit_hand_example(spark):
+    """Fold replayed by hand in md5(doc_id) order against max_len=5."""
+    rows = [("g", i, " ".join(["w"] * n))
+            for i, n in [(0, 3), (1, 2), (2, 4), (3, 1), (4, 5), (5, 2)]]
+    out = cu.pack_greedy(_packing_df(spark, rows), "grp", "doc_id", "text",
+                         max_len=5).collect()
+    import hashlib
+
+    # replay the fold in the same deterministic order
+    toks = {i: n for i, n in [(0, 3), (1, 2), (2, 4), (3, 1), (4, 5), (5, 2)]}
+    seq = sorted(toks, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    want, p, f = {}, -1, 0
+    for i in seq:
+        if p < 0 or f + toks[i] > 5:
+            p, f = p + 1, toks[i]
+        else:
+            f += toks[i]
+        want[i] = (p, f)
+    got = {r["doc_id"]: (r["pack_id"], r["pack_fill"]) for r in out}
+    assert got == want
+
+
+def test_pack_greedy_bounds_and_oversize(spark):
+    """Every pack's final fill <= max_len unless it is a single oversize
+    doc, which sits alone in its own over-full pack."""
+    rows = [("g", i, " ".join(["w"] * n))
+            for i, n in enumerate([4, 9, 2, 3, 9, 1, 2, 2])]  # 9 > max 6
+    out = cu.pack_greedy(_packing_df(spark, rows), "grp", "doc_id", "text",
+                         max_len=6).collect()
+    packs = {}
+    for r in out:
+        packs.setdefault(r["pack_id"], []).append(r["n_tokens"])
+    for members in packs.values():
+        if len(members) == 1:
+            continue  # singleton may be oversize by design
+        assert sum(members) <= 6
+    oversize = [r["pack_id"] for r in out if r["n_tokens"] > 6]
+    for p in oversize:
+        assert len(packs[p]) == 1
+
+
+def test_pack_greedy_deterministic_across_partitioning(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = cu.pack_greedy(docs, "source", "doc_id", "text", max_len=120)
+    b = cu.pack_greedy(docs.repartition(13), "source", "doc_id", "text",
+                       max_len=120)
+    rows_a = sorted((r["doc_id"], r["pack_id"], r["pack_fill"])
+                    for r in a.collect())
+    rows_b = sorted((r["doc_id"], r["pack_id"], r["pack_fill"])
+                    for r in b.collect())
+    assert rows_a == rows_b and rows_a
+
+
+def test_pack_greedy_sharded_keeps_per_shard_semantics(spark):
+    """n_shards > 1: every doc appears exactly once; within each
+    (group, shard) the assignment equals the unsharded fold of that
+    shard's docs alone."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sharded = cu.pack_greedy(docs, "source", "doc_id", "text",
+                             max_len=120, n_shards=3)
+    rows = sharded.collect()
+    assert len(rows) == docs.count()
+    assert {r["pack_shard"] for r in rows} <= {0, 1, 2}
+    # replay one (source, shard) slice through the unsharded op
+    src = rows[0]["source"]
+    shard = rows[0]["pack_shard"]
+    slice_ids = {r["doc_id"] for r in rows
+                 if r["source"] == src and r["pack_shard"] == shard}
+    redo = cu.pack_greedy(
+        docs.filter(F.col("doc_id").isin(list(slice_ids))),
+        "source", "doc_id", "text", max_len=120,
+    ).collect()
+    want = {r["doc_id"]: (r["pack_id"], r["pack_fill"]) for r in redo}
+    got = {r["doc_id"]: (r["pack_id"], r["pack_fill"]) for r in rows
+           if r["source"] == src and r["pack_shard"] == shard}
+    assert got == want
