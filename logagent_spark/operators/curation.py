@@ -258,6 +258,52 @@ def pack_greedy(
     return base.groupBy(*keys).applyInPandas(fold, schema=out_schema)
 
 
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_len: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each doc into overlapping fixed-token-length chunks (the
+    context-window chunking step feeding embedding / training jobs, and
+    the splitter `pack_greedy` defers oversize docs to).
+
+    Chunk i covers tokens ``[i*stride, i*stride + max_len)`` with
+    ``stride = max_len - overlap``; a doc of n tokens yields
+    ``1 + ceil(max(0, n - max_len) / stride)`` chunks, so every token is
+    covered, consecutive chunks share ``overlap`` tokens, and a doc
+    never yields a trailing chunk fully contained in its predecessor
+    (n = 0 yields one empty chunk — row identity survives chunking).
+    Appends ``chunk_idx``, ``chunk_text``, ``n_chunk_tokens``.
+
+    Pure Column exprs, zero UDF. The chunk-index sequence is exploded
+    FIRST and the slice applied at the top level after the Generate —
+    never inside a higher-order-function lambda over the derived token
+    array (Catalyst does not hoist subexpressions out of HOF lambdas;
+    see CLAUDE.md). Scale: the explode fans out O(total chunks) rows
+    inside the scan stage — no shuffle; the token array is carried
+    across the Generate, not recomputed per chunk."""
+    if not 0 <= overlap < max_len:
+        raise ValueError("need 0 <= overlap < max_len")
+    stride = max_len - overlap
+    base = df.withColumn("_toks", ts.tokens(F.col(text_col)))
+    n = F.size("_toks")
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(F.lit(0), n - max_len) / F.lit(stride)
+    ).cast("int")
+    out = base.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("chunk_idx") * stride + 1, max_len)
+    return (
+        out.withColumn("chunk_text", F.array_join(piece, " "))
+        .withColumn("n_chunk_tokens", F.size(piece))
+        .drop("_toks")
+    )
+
+
 def shingle_hashes(text: Column, k: int = 5) -> Column:
     """Per-doc DISTINCT md5 hashes of k-word shingles (scan-side
     dedup before any explode, so repeated n-grams inside one doc cost

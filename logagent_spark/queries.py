@@ -2822,8 +2822,10 @@ def q_corpus_select(spark, sf_dir):
     under a 600-token-per-source budget with the running total; (4)
     `pack` — every doc's greedy 120-token pack assignment per source
     (the oracle replays the sequential first-fit fold with a recursive
-    CTE — each iteration advances every source by one doc). Unified
-    schema (tag, doc_id, key, n)."""
+    CTE — each iteration advances every source by one doc); (5) `chunk`
+    — overlapping 32-token/8-overlap context-window chunks, key =
+    chunk_idx:md5(chunk_text) so content, order and coverage are all
+    pinned. Unified schema (tag, doc_id, key, n)."""
     docs = _t(spark, sf_dir, "documents")
     urls = docs.select(
         "doc_id", "source", "lang", "text",
@@ -2860,7 +2862,21 @@ def q_corpus_select(spark, sf_dir):
         F.col("source").alias("key"),
         F.col("pack_id").cast("long").alias("n"),
     )
-    return keep.unionByName(capped).unionByName(budget).unionByName(packed)
+    chunks = cu.chunk_tokens(
+        docs.select("doc_id", "text"), "doc_id", "text",
+        max_len=32, overlap=8,
+    ).select(
+        F.lit("chunk").alias("tag"),
+        "doc_id",
+        F.concat_ws(
+            ":", F.col("chunk_idx").cast("string"), F.md5("chunk_text")
+        ).alias("key"),
+        F.col("n_chunk_tokens").cast("long").alias("n"),
+    )
+    return (
+        keep.unionByName(capped).unionByName(budget)
+        .unionByName(packed).unionByName(chunks)
+    )
 
 
 _SQL_CANON_URL = r"""
@@ -2954,6 +2970,19 @@ FROM (
 UNION ALL
 SELECT 'pack' AS tag, doc_id, source AS key, CAST(pack_id AS BIGINT) AS n
 FROM packed
+UNION ALL
+SELECT 'chunk' AS tag, doc_id,
+       concat(cast(i AS STRING), ':',
+              md5(array_to_string(
+                    list_slice(t, i * 24 + 1, i * 24 + 32), ' '))) AS key,
+       CAST(len(list_slice(t, i * 24 + 1, i * 24 + 32)) AS BIGINT) AS n
+FROM (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, ' +'), x -> x <> '') AS t
+  FROM documents
+), LATERAL unnest(generate_series(
+     0, CAST(ceil(greatest(0, len(t) - 32) / (24.0::DOUBLE)) AS BIGINT)
+   )) AS g(i)
 """
 
 

@@ -244,3 +244,56 @@ def test_pack_greedy_sharded_keeps_per_shard_semantics(spark):
     got = {r["doc_id"]: (r["pack_id"], r["pack_fill"]) for r in rows
            if r["source"] == src and r["pack_shard"] == shard}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# chunk_tokens
+
+
+def test_chunk_tokens_covers_and_overlaps(spark):
+    """Chunks tile the doc: chunk i drops its first `overlap` tokens
+    (except chunk 0) and the concatenation reproduces the original
+    token stream; consecutive chunks share exactly `overlap` tokens."""
+    text = " ".join(f"t{i}" for i in range(57))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted(
+        cu.chunk_tokens(df, "doc_id", "text", max_len=32, overlap=8)
+        .collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [r["chunk_idx"] for r in out] == [0, 1, 2]
+    toks = [r["chunk_text"].split(" ") for r in out]
+    assert toks[0] == [f"t{i}" for i in range(32)]
+    assert toks[1][:8] == toks[0][-8:]  # shared overlap
+    rebuilt = toks[0] + [t for c in toks[1:] for t in c[8:]]
+    assert rebuilt == text.split(" ")
+    assert [r["n_chunk_tokens"] for r in out] == [32, 32, 9]
+
+
+@pytest.mark.parametrize("n,want_chunks", [(0, 1), (1, 1), (32, 1),
+                                           (33, 2), (56, 2), (57, 3)])
+def test_chunk_tokens_chunk_count(spark, n, want_chunks):
+    df = spark.createDataFrame(
+        [(1, " ".join(["w"] * n))], "doc_id long, text string"
+    )
+    rows = cu.chunk_tokens(df, "doc_id", "text", max_len=32,
+                           overlap=8).collect()
+    assert len(rows) == want_chunks
+    if n == 0:
+        assert rows[0]["chunk_text"] == "" and rows[0]["n_chunk_tokens"] == 0
+    else:  # no trailing chunk fully contained in its predecessor
+        last = max(rows, key=lambda r: r["chunk_idx"])
+        assert last["chunk_idx"] * 24 + last["n_chunk_tokens"] == n
+
+
+def test_chunk_tokens_no_shuffle(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(cu.chunk_tokens(docs, "doc_id", "text", max_len=32,
+                                 overlap=8))
+    assert "Exchange" not in plan and "Generate" in plan
+
+
+def test_chunk_tokens_rejects_bad_overlap(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        cu.chunk_tokens(docs, "doc_id", "text", max_len=8, overlap=8)
