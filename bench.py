@@ -928,6 +928,87 @@ def census_prefilter_crossover(spark) -> dict:
     }
 
 
+def _ensure_media_corpus(spark) -> "tuple[str, int]":
+    """Materialize a mixed PNG/BMP/WAV payload corpus once (the
+    formula-synthesized payloads the multimodal gate uses, scaled up).
+    Cache key covers row count + the synth-formula version so a formula
+    change can't silently reuse stale parquet (ADVICE r5)."""
+    import shutil
+
+    n = max(60_000, int(1_200_000 * _sf_value()))
+    path = f"/tmp/la_media_{n}_v1"
+    if not os.path.exists(path):
+        from logagent_spark.queries import _synth_media_payload
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                ids = pdf["id"].tolist()
+                yield pd.DataFrame(
+                    {"doc_id": ids, "payload": _synth_media_payload(ids)}
+                )
+
+        spark.range(n).repartition(CPUS).mapInPandas(
+            gen, "doc_id long, payload binary"
+        ).write.mode("overwrite").parquet(path + ".tmp")
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(path + ".tmp", path)
+    return path, n
+
+
+def media_codec_throughput(spark) -> dict:
+    """Decode throughput of the real (no-codec-library) PNG/BMP/WAV
+    path: payloads read from parquet, features extracted via the
+    mapInPandas operators with drop_payload=True (a decode job must not
+    ship the bytes back through Arrow), noop sink. min of 2 fresh
+    plans per modality; every payload must decode (a NULL feature row
+    in this corpus is a codec bug, and decoded_frac reports it)."""
+    from pyspark.sql import functions as F
+
+    from logagent_spark.operators.multimodal import (
+        extract_audio_features,
+        extract_image_features,
+    )
+
+    path, n = _ensure_media_corpus(spark)
+    df = spark.read.parquet(path)
+    mb = df.agg(
+        F.sum(F.octet_length("payload")).alias("b")
+    ).collect()[0]["b"] / 1e6
+
+    def timed(build) -> "tuple[float, int, int]":
+        t0 = time.monotonic()
+        out = build()
+        got = out.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.count(out.columns[-1]).alias("ok"),
+        ).collect()[0]
+        return time.monotonic() - t0, got["rows"], got["ok"]
+
+    img_runs = [timed(lambda: extract_image_features(
+        df.filter(F.col("doc_id") % 3 < 2), drop_payload=True))
+        for _ in range(2)]
+    wav_runs = [timed(lambda: extract_audio_features(
+        df.filter(F.col("doc_id") % 3 == 2), drop_payload=True))
+        for _ in range(2)]
+    img_sec = min(r[0] for r in img_runs)
+    wav_sec = min(r[0] for r in wav_runs)
+    n_img, ok_img = img_runs[0][1], img_runs[0][2]
+    n_wav, ok_wav = wav_runs[0][1], wav_runs[0][2]
+    return {
+        "n_payloads": n,
+        "corpus_mb": round(mb, 1),
+        "image_payloads": n_img,
+        "image_sec": round(img_sec, 2),
+        "image_per_sec": round(n_img / img_sec, 1),
+        "audio_payloads": n_wav,
+        "audio_sec": round(wav_sec, 2),
+        "audio_per_sec": round(n_wav / wav_sec, 1),
+        "decoded_frac": round((ok_img + ok_wav) / (n_img + n_wav), 4),
+    }
+
+
 def census_excision_crossover(spark) -> dict:
     """Excision at prefilter scale (VERDICT r5 #7): the census crossover
     is demonstrated for duplicated_window_stats; run
@@ -1109,6 +1190,7 @@ def main() -> None:
     largeq = knn_ivf_large_q(spark, pages)
     census = census_prefilter_crossover(spark)
     excision = census_excision_crossover(spark)
+    media = media_codec_throughput(spark)
     spark.stop()
 
     # persist PAIRS across invocations (marker "paired": each entry is
@@ -1166,6 +1248,7 @@ def main() -> None:
         "knn_ivf_large_q": largeq,
         "census_prefilter": census,
         "census_excision": excision,
+        "media_codec": media,
         "floor_breakdown": floor,
         "grok_udf_tax": round(
             queries["parse_grok_udf"] / queries["parse_native"], 2
@@ -1219,6 +1302,7 @@ def render_bench_md(result: dict) -> str:
     largeq = result["knn_ivf_large_q"]
     census = result["census_prefilter"]
     excision = result.get("census_excision")  # absent in pre-r6 records
+    media = result.get("media_codec")  # absent in pre-r6 records
     floor = result.get("floor_breakdown")     # absent in pre-r6 records
     rows = scaling["pages_rows"]
     levels = sorted(
@@ -1437,6 +1521,20 @@ def render_bench_md(result: dict) -> str:
                 + "); outputs verified identical per pair (count, "
                 "clean length, crc32 sum).\n"
                 if excision else ""
+            )
+            + (
+                "\nMedia codec decode (real no-library PNG/BMP/WAV "
+                "path, operators/codecs.py through mapInPandas with "
+                f"drop_payload=True): {media['n_payloads']:,} payloads "
+                f"({media['corpus_mb']} MB parquet), images "
+                f"{media['image_payloads']:,} in {media['image_sec']}s "
+                f"= {media['image_per_sec']:,.0f}/s, audio "
+                f"{media['audio_payloads']:,} in {media['audio_sec']}s "
+                f"= {media['audio_per_sec']:,.0f}/s, decoded_frac "
+                f"{media['decoded_frac']} (must be 1.0 — a NULL "
+                "feature row on this corpus is a codec bug). min of 2 "
+                "fresh plans per modality.\n"
+                if media else ""
             )
         )
 

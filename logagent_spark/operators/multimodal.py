@@ -156,18 +156,24 @@ def decode_image_batch(payloads: pd.Series, fake: bool) -> pd.DataFrame:
 
 
 def extract_image_features(
-    df: DataFrame, bin_col: str = "payload", *, fake: bool = False
+    df: DataFrame, bin_col: str = "payload", *, fake: bool = False,
+    drop_payload: bool = False,
 ) -> DataFrame:
     """mapInPandas image feature extraction: schema = input + features.
     Keeps partitioning; batch size governed by
-    spark.sql.execution.arrow.maxRecordsPerBatch."""
-    out_schema = T.StructType(
-        list(df.schema.fields) + list(IMAGE_FEATURES_SCHEMA.fields)
-    )
+    spark.sql.execution.arrow.maxRecordsPerBatch. ``drop_payload``
+    removes the binary column from the OUTPUT inside the worker — a
+    decode job that only wants features must not ship the bytes back
+    through Arrow (at media scale the payloads dominate the transfer)."""
+    keep = [f for f in df.schema.fields
+            if not (drop_payload and f.name == bin_col)]
+    out_schema = T.StructType(keep + list(IMAGE_FEATURES_SCHEMA.fields))
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = decode_image_batch(pdf[bin_col], fake)
+            if drop_payload:
+                pdf = pdf.drop(columns=[bin_col])
             yield pd.concat(
                 [pdf.reset_index(drop=True), feats.reset_index(drop=True)],
                 axis=1,
@@ -232,18 +238,20 @@ def decode_audio_batch(payloads: pd.Series) -> pd.DataFrame:
     return out
 
 
-def extract_audio_features(df: DataFrame, bin_col: str = "payload"
-                           ) -> DataFrame:
+def extract_audio_features(df: DataFrame, bin_col: str = "payload", *,
+                           drop_payload: bool = False) -> DataFrame:
     """mapInPandas audio feature extraction (real WAV decode): schema =
-    input + AUDIO_FEATURES_SCHEMA. Same batch/partitioning notes as
-    extract_image_features."""
-    out_schema = T.StructType(
-        list(df.schema.fields) + list(AUDIO_FEATURES_SCHEMA.fields)
-    )
+    input + AUDIO_FEATURES_SCHEMA. Same batch/partitioning and
+    ``drop_payload`` notes as extract_image_features."""
+    keep = [f for f in df.schema.fields
+            if not (drop_payload and f.name == bin_col)]
+    out_schema = T.StructType(keep + list(AUDIO_FEATURES_SCHEMA.fields))
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = decode_audio_batch(pdf[bin_col])
+            if drop_payload:
+                pdf = pdf.drop(columns=[bin_col])
             yield pd.concat(
                 [pdf.reset_index(drop=True), feats.reset_index(drop=True)],
                 axis=1,

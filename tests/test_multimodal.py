@@ -137,3 +137,26 @@ def test_fake_embedding_plus_ann(spark):
     top = sim.brute_force_topk(emb, "embedding", q_row["embedding"], k=3,
                                id_col="doc_id").collect()
     assert top[0]["doc_id"] == 5 and abs(top[0]["cos"] - 1.0) < 1e-6
+
+
+def test_drop_payload_excludes_binary_from_output(spark):
+    import numpy as np
+
+    from logagent_spark.operators import codecs as C
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+    wav = rng.integers(-32768, 32768, 40, dtype=np.int16)
+    df = spark.createDataFrame(
+        [(0, bytearray(C.encode_png(img))), (1, bytearray(C.encode_wav(wav, 8000)))],
+        "id long, payload binary",
+    )
+    slim = mm.extract_image_features(df, fake=False, drop_payload=True)
+    assert "payload" not in slim.columns
+    full = mm.extract_image_features(df, fake=False)
+    assert {r["id"]: r["channel_sum"] for r in slim.collect()} == \
+           {r["id"]: r["channel_sum"] for r in full.collect()}
+    slim_a = mm.extract_audio_features(df, drop_payload=True)
+    assert "payload" not in slim_a.columns
+    assert {r["id"]: r["sum_sq"] for r in slim_a.collect()} == \
+           {r["id"]: r["sum_sq"] for r in mm.extract_audio_features(df).collect()}
