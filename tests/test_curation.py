@@ -297,3 +297,24 @@ def test_chunk_tokens_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         cu.chunk_tokens(docs, "doc_id", "text", max_len=8, overlap=8)
+
+
+def test_chunk_then_pack_bounds_every_pack(spark):
+    """The composition the two operators exist for: chunk oversize docs
+    at max_len (overlap=0), then pack the chunks — with no chunk longer
+    than max_len, EVERY pack fill is <= max_len, no exceptions."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    chunks = cu.chunk_tokens(docs.select("doc_id", "source", "text"),
+                             "doc_id", "text", max_len=24, overlap=0)
+    pieces = chunks.select(
+        F.concat_ws("#", F.col("doc_id").cast("string"),
+                    F.col("chunk_idx").cast("string")).alias("piece_id"),
+        "source",
+        F.col("chunk_text").alias("text"),
+    )
+    packed = cu.pack_greedy(pieces, "source", "piece_id", "text",
+                            max_len=24)
+    fills = packed.groupBy("source", "pack_id").agg(
+        F.sum("n_tokens").alias("fill")).collect()
+    assert fills and all(r["fill"] <= 24 for r in fills)
+    assert packed.count() == pieces.count()
