@@ -201,26 +201,73 @@ class CompiledPipeline:
     # stage 2: router / fan-out
     # ------------------------------------------------------------------
     def _sink_structs(self, schema: Schema) -> Column:
+        """Matching-sink structs per row: (sink, _ok) only — the rendered
+        template is computed AFTER the explode (`_rendered_by_sink`), so
+        plans that never read `rendered` (sink_counts and friends) prune
+        the whole template concat tree instead of evaluating every
+        handler's template per input row."""
         structs = []
         for i, h in enumerate(self.spec.handlers):
             gate = compile_gate(
                 h.validators, schema,
                 attrs_col=self.spec.parser.attrs or None,
             )
-            if h.mode == "database":
-                rendered = F.lit(None).cast(T.StringType())
-            else:
-                rendered = compile_template(h.template, schema)
             structs.append(
                 F.struct(
                     F.lit(h.sink_name(i)).alias(SINK_COL),
                     F.coalesce(gate, F.lit(False)).alias("_ok"),
-                    rendered.alias(RENDERED_COL),
                 )
             )
         if not structs:
             raise ValueError("pipeline has no handlers")
         return F.filter(F.array(*structs), lambda s: s["_ok"])
+
+    def _rendered_by_sink(self, schema: Schema, include_dead: bool) -> Column:
+        """Post-explode `rendered`: one when-chain keyed by the (unique —
+        spec-validated) sink name, so each exploded row evaluates exactly
+        its own handler's template. Dead-letter rows carry their drop
+        reason, exactly as the pre-r7 in-struct form did."""
+        chain = None
+        for i, h in enumerate(self.spec.handlers):
+            if h.mode == "database":
+                rendered = F.lit(None).cast(T.StringType())
+            else:
+                rendered = compile_template(h.template, schema)
+            cond = F.col(SINK_COL) == F.lit(h.sink_name(i))
+            chain = (
+                F.when(cond, rendered) if chain is None
+                else chain.when(cond, rendered)
+            )
+        if include_dead:
+            dead = F.col(DROP_COL).isNotNull() & (
+                F.col(SINK_COL) == F.lit(DEAD_SINK)
+            )
+            chain = F.when(dead, F.col(DROP_COL)).otherwise(chain)
+        return chain
+
+    def _template_columns(self, schema: Schema) -> list[str]:
+        """Data columns the handlers' templates read (the ones that must
+        survive the explode so `_rendered_by_sink` can reference them)."""
+        from logagent_spark.functions import is_string
+        from logagent_spark.operators.template import split_template
+
+        needed: list[str] = []
+
+        def add(key: str) -> None:
+            dt = schema.get(key)
+            if dt is not None and is_string(dt) and key not in needed:
+                needed.append(key)
+
+        for h in self.spec.handlers:
+            if h.mode == "database":
+                continue
+            if not h.template:
+                add("message")
+                continue
+            for _text, key in split_template(h.template):
+                if key is not None:
+                    add(key)
+        return needed
 
     def _exploded(
         self,
@@ -239,7 +286,6 @@ class CompiledPipeline:
             dead_struct = F.struct(
                 F.lit(DEAD_SINK).alias(SINK_COL),
                 F.lit(True).alias("_ok"),
-                F.col(DROP_COL).alias(RENDERED_COL),
             )
             arr = F.when(
                 F.col(DROP_COL).isNotNull(), F.array(dead_struct)
@@ -247,12 +293,28 @@ class CompiledPipeline:
         else:
             arr = F.when(F.col(DROP_COL).isNull(), matches)
         cols = keep if keep is not None else list(schema)
+        # template inputs (and the drop reason, for the dead-letter
+        # branch) ride through the Generate so `rendered` can be computed
+        # per exploded row; when a downstream plan never reads `rendered`
+        # (sink_counts), column pruning drops the when-chain AND these
+        # carried columns — the template concat is never evaluated.
+        extras = [
+            c for c in self._template_columns(schema) if c not in cols
+        ]
+        if include_dead:
+            extras.append(DROP_COL)
         return (
             result.frame.withColumn("_sinks", arr)
-            .select(*cols, F.explode("_sinks").alias("_s"))
+            .select(*cols, *extras, F.explode("_sinks").alias("_s"))
             .select(
                 F.col(f"_s.{SINK_COL}").alias(SINK_COL),
-                F.col(f"_s.{RENDERED_COL}").alias(RENDERED_COL),
+                *extras,
+                *cols,
+            )
+            .select(
+                SINK_COL,
+                self._rendered_by_sink(schema, include_dead)
+                .alias(RENDERED_COL),
                 *cols,
             )
         )
