@@ -311,17 +311,30 @@ def shingle_hashes(text: Column, k: int = 5) -> Column:
     return F.array_distinct(F.transform(ts.shingles(text, k), F.md5))
 
 
+def _shingle_hash_rows(
+    df: DataFrame, id_cols: list, text_col: str, k: int
+) -> DataFrame:
+    """(id_cols..., h) rows: tokens materialized once per row, then the
+    distinct per-doc shingle hashes exploded (see
+    textstats.shingles_from_tokens for why the two-step projection)."""
+    return df.select(
+        *id_cols, ts.tokens(F.col(text_col)).alias("_tk")
+    ).select(
+        *id_cols,
+        F.explode(
+            F.array_distinct(
+                F.transform(ts.shingles_from_tokens(F.col("_tk"), k), F.md5)
+            )
+        ).alias("h"),
+    )
+
+
 def benchmark_shingle_set(
     benchmark: DataFrame, text_col: str, k: int = 5
 ) -> DataFrame:
     """The distinct shingle-hash set of an eval/benchmark corpus, as a
     1-column DataFrame ``h`` (small: broadcast it into the corpus scan)."""
-    return (
-        benchmark.select(
-            F.explode(shingle_hashes(F.col(text_col), k)).alias("h")
-        )
-        .distinct()
-    )
+    return _shingle_hash_rows(benchmark, [], text_col, k).distinct()
 
 
 def decontaminate(
@@ -345,10 +358,7 @@ def decontaminate(
     aggregation exchange carrying only hit (doc_id, count) rows.
     """
     bench = benchmark_shingle_set(benchmark, text_col, k)
-    corpus_sh = corpus.select(
-        F.col(id_col),
-        F.explode(shingle_hashes(F.col(text_col), k)).alias("h"),
-    )
+    corpus_sh = _shingle_hash_rows(corpus, [F.col(id_col)], text_col, k)
     hits = (
         corpus_sh.join(F.broadcast(bench), "h")
         .groupBy(id_col)

@@ -30,7 +30,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from logagent_spark.operators.textstats import shingles, tokens
+from logagent_spark.operators.textstats import (
+    shingles,
+    shingles_from_tokens,
+    tokens,
+)
 
 # ---------------------------------------------------------------------------
 # exact
@@ -97,7 +101,17 @@ def minhash_signature(
       ~30-byte string. Hashing the string per seed made signature
       generation the hot loop of the whole MinHash pipeline.
     """
-    sh = shingles(col, shingle_k)
+    return minhash_signature_from_shingles(
+        shingles(col, shingle_k), num_hashes
+    )
+
+
+def minhash_signature_from_shingles(
+    sh: Column, num_hashes: int = 64
+) -> Column:
+    """minhash_signature from an already-built shingle array Column —
+    pair with a materialized token column + shingles_from_tokens so the
+    token split runs once per row (see textstats.shingles_from_tokens)."""
     seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
     hs = F.transform(sh, lambda s: F.xxhash64(s))
     per_shingle = F.transform(
@@ -132,8 +146,13 @@ def minhash_candidates(
     exact-duplicate clusters in disguise — handle them with
     `exact_duplicates`, not pairwise Jaccard."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_k)
-    banded = df.select(F.col(id_col).alias("_id"), sig.alias("_sig")).select(
+    sig = minhash_signature_from_shingles(
+        shingles_from_tokens(F.col("_tk"), shingle_k), num_hashes
+    )
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        tokens(F.col(text_col)).alias("_tk"),
+    ).select(F.col("_id"), sig.alias("_sig")).select(
         "_id",
         F.explode(
             F.array(*[
@@ -202,7 +221,13 @@ def jaccard_pairs(
         )
         .select(
             F.col(id_col).alias("_jid"),
-            F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("_set"),
+            tokens(F.col(text_col)).alias("_tk"),
+        )
+        .select(
+            F.col("_jid"),
+            F.array_distinct(
+                shingles_from_tokens(F.col("_tk"), shingle_k)
+            ).alias("_set"),
         )
     )
     a_sets = sets_df.withColumnRenamed("_jid", "a").withColumnRenamed("_set", "_sa")

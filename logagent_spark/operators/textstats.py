@@ -167,6 +167,40 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.trim(norm))
 
 
+def shingles_from_tokens(toks: Column, k: int = 5) -> Column:
+    """k-word shingles from an ALREADY-MATERIALIZED token array column.
+
+    The zip-chain references `toks` k+1 times; when `toks` is a real
+    column produced by a prior projection (an AttributeReference), each
+    reference is a free array read — CollapseProject deliberately does
+    not inline a non-cheap alias referenced more than once, so the
+    split+filter token derivation runs ONCE per row instead of k+1
+    times (r7: measured interleaved, see OPTIMIZATION_r07.md). Callers
+    with a raw text column and no reusable projection use `shingles`."""
+    if k <= 1:
+        return toks
+    acc = toks
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, j + 1, 2147483647 - k),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    full = F.filter(acc, lambda s: s.isNotNull())
+    return F.when(F.size(toks) >= k, full).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def n_windows_closed_form(toks: Column, k: int = 5) -> Column:
+    """size(shingles_from_tokens(toks, k)) without building the array:
+    n >= k -> n - k + 1 windows; n < k (including empty and NULL token
+    arrays, whose short-fallback shingle is the single whole-text
+    string) -> 1. `greatest` ignores the NULL size of a NULL array, so
+    all three regimes collapse to one expression."""
+    return F.greatest(F.size(toks) - (k - 1), F.lit(1))
+
+
 def shingles(col: Column, k: int = 5) -> Column:
     """k-word shingles as an array<string> (basis for minhash / jaccard).
 
@@ -179,21 +213,10 @@ def shingles(col: Column, k: int = 5) -> Column:
     pipeline. The zip chain evaluates the token derivation k+1 times
     total. zip_with pads the shorter side with NULL and `concat` is
     NULL-propagating, so the k-1 tail slots become NULL and are filtered
-    — output strings are byte-identical to the slice form."""
-    toks = tokens(col)
-    if k <= 1:
-        return toks
-    acc = toks
-    for j in range(1, k):
-        acc = F.zip_with(
-            acc,
-            F.slice(tokens(col), j + 1, 2147483647 - k),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    full = F.filter(acc, lambda s: s.isNotNull())
-    return F.when(F.size(toks) >= k, full).otherwise(
-        F.array(F.concat_ws(" ", toks))
-    )
+    — output strings are byte-identical to the slice form. Prefer the
+    two-step projection + `shingles_from_tokens` where the DataFrame is
+    in hand: it pays the token derivation once."""
+    return shingles_from_tokens(tokens(col), k)
 
 
 def min_shingle_fingerprint(col: Column, k: int = 5) -> Column:
@@ -234,7 +257,7 @@ def estimate_total_windows(
     avg = (
         df.sample(frac, seed=7)
         .agg(F.avg(
-            F.greatest(F.size(shingles(F.col(text_col), w)), F.lit(0))
+            n_windows_closed_form(tokens(F.col(text_col)), w)
         ))
         .first()[0]
     )
@@ -362,8 +385,14 @@ def duplicated_window_stats(
     whose bucket count is >= 2 — lossless, and the stats shuffle only
     candidate occurrences; n_windows then derives scan-side from the
     shingle array length, never touching the census."""
+    # tokens materialized ONCE per row in a prior projection (the zip
+    # chain then reads the array k+1 times for free instead of running
+    # split+filter k+1 times — see shingles_from_tokens)
     exploded = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), w)).alias("_s")
+        F.col(id_col), tokens(F.col(text_col)).alias("_tk")
+    ).select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("_tk"), w)).alias("_s"),
     )
     if prefilter_buckets == "auto":
         # resolve here, where the doc frame is in hand: the sample
@@ -394,7 +423,10 @@ def duplicated_window_stats(
     per_doc = (
         df.select(
             F.col(id_col),
-            F.size(shingles(F.col(text_col), w)).alias("n_windows"),
+            # closed form: the window count needs only the token count,
+            # never the shingle array itself
+            n_windows_closed_form(tokens(F.col(text_col)), w)
+            .alias("n_windows"),
         )
         .filter(F.col("n_windows") >= 1)
         .join(dups_per_doc, id_col, "left")
@@ -433,9 +465,10 @@ def excise_duplicated_windows(
     rebuild (collect_list of (pos, tok) structs, array_sort, join).
     Per-doc memory is bounded by document length. A doc whose every
     token is covered (a pure-boilerplate page) comes back as ''."""
-    sh = shingles(F.col(text_col), w)
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+    sh = shingles_from_tokens(F.col("_tk"), w)
     win_pos = (
-        df.select(F.col(id_col), F.posexplode(sh).alias("_p0", "_s"))
+        toked.select(F.col(id_col), F.posexplode(sh).alias("_p0", "_s"))
         .select(id_col, (F.col("_p0") + 1).alias("_p"), "_s")
     )
     if prefilter_buckets == "auto":
@@ -458,8 +491,8 @@ def excise_duplicated_windows(
         .distinct()
     )
     tok_pos = (
-        df.select(F.col(id_col),
-                  F.posexplode(tokens(F.col(text_col))).alias("_t0", "_tok"))
+        toked.select(F.col(id_col),
+                     F.posexplode(F.col("_tk")).alias("_t0", "_tok"))
         .select(id_col, (F.col("_t0") + 1).alias("_ti"), "_tok")
     )
     kept = tok_pos.join(
