@@ -607,6 +607,7 @@ def embedding_candidate_pairs(
     seed: int = 42,
     n_chunks: int = 3,
     max_bucket_size: int = 4096,
+    strategy: str = "pandas",
 ) -> DataFrame:
     """Candidate embedding pairs (a, b, cos) via banded hyperplane LSH.
 
@@ -616,12 +617,25 @@ def embedding_candidate_pairs(
     guaranteed found (single-probe bucketing misses any pair straddling
     ONE hyperplane; banding trades more candidates for that recall).
 
-    Scale shape: only skinny (id, band, key) rows shuffle for the
-    self-join (co-partitioned on the band key); embeddings re-attach to
-    the surviving candidate ids afterwards, so no bucket row ever
-    collects full vectors (a 4096-id bucket at dim 1024 would otherwise
-    be a ~33 MB row). Degenerate buckets (near-constant embedding
-    clusters) are capped — they are exact-dup clusters in disguise.
+    Two scoring strategies with BIT-IDENTICAL cos values (the same
+    sequential-fold rounding sequence — the knn_join_ivf precedent):
+
+    * ``pandas`` (default, the scale path) — embeddings ride the band
+      explode once, buckets score ALL their pairs in one Arrow/numpy
+      pass per (band, key) group (`_seq` folds over dimensions,
+      vectorized across the pair matrix), and the oversized-bucket cap
+      is a per-group length check — no per-pair join ever materializes
+      vectors. r6's expr path joined the 66.7M-candidate pair list back
+      to the embeddings (TWO shuffles of vectors keyed by pair id) and
+      scored each pair with an INTERPRETED HOF fold (~10 us/pair; see
+      CLAUDE.md) — that join + fold dominated the 100k-vector bench.
+    * ``expr`` — the r6 shape (skinny pair self-join, embeddings
+      re-attached, JVM Column fold). Kept because it is the
+      oracle-shaped plan and the right form when vectors are huge
+      relative to the candidate count.
+
+    Degenerate buckets (near-constant embedding clusters) are capped in
+    both strategies — they are exact-dup clusters in disguise.
     """
     bits = hyperplane_bits(F.col(emb_col), seeded_planes(n_planes, dim, seed))
     chunk_keys = []
@@ -632,6 +646,25 @@ def embedding_candidate_pairs(
         chunk_keys.append(
             F.struct(F.lit(c).alias("band"), key.alias("key"))
         )
+
+    if strategy == "pandas":
+        with_keys = df.select(
+            F.col(id_col).alias("_id"),
+            F.col(emb_col).alias("_e"),
+            F.explode(F.array(*chunk_keys)).alias("_bk"),
+        ).select("_id", "_e", "_bk.band", "_bk.key")
+        scored = with_keys.groupBy("band", "key").applyInPandas(
+            _score_bucket_pairs_fn(max_bucket_size),
+            T.StructType([
+                T.StructField("a", df.schema[id_col].dataType),
+                T.StructField("b", df.schema[id_col].dataType),
+                T.StructField("cos", T.DoubleType()),
+            ]),
+        )
+        return scored.distinct()
+    if strategy != "expr":
+        raise ValueError(f"unknown strategy `{strategy}`")
+
     skinny = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array(*chunk_keys)).alias("_bk"),
@@ -682,6 +715,86 @@ def embedding_candidate_pairs(
         .join(eb, "b")
         .select("a", "b", cos.alias("cos"))
     )
+
+
+def _fold_cos_pair(va, vb):
+    """Scalar twin of the expr-path cosine for one pair, reproducing the
+    JVM fold's NULL semantics exactly: a NULL/None-element vector has a
+    NULL norm (cos -> 0.0 via the otherwise branch), a zero norm yields
+    0.0, and a LENGTH-MISMATCHED pair with valid norms yields NULL
+    (zip_with pads with null, the fold goes sticky-null). Python float
+    arithmetic is the same IEEE double sequence as the fold."""
+    def norm2(v):
+        if v is None:
+            return None
+        acc = 0.0
+        for x in v:
+            if x is None:
+                return None
+            acc = acc + x * x
+        return acc
+
+    na2, nb2 = norm2(va), norm2(vb)
+    if na2 is None or nb2 is None:
+        return 0.0
+    na, nb = math.sqrt(na2), math.sqrt(nb2)
+    if not (na > 0 and nb > 0):
+        return 0.0
+    if len(va) != len(vb):
+        return None  # padded null poisons the dot fold
+    acc = 0.0
+    for x, y in zip(va, vb):
+        acc = acc + x * y
+    return acc / (na * nb)
+
+
+def _score_bucket_pairs_fn(max_bucket_size: int):
+    """applyInPandas scorer for one LSH bucket: all pairs (a < b) with
+    the sequential-fold cosine (bit-identical to the expr strategy).
+    Groups over the cap emit nothing (the degenerate-bucket guard)."""
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2 or n > max_bucket_size:
+            return pd.DataFrame({"a": [], "b": [], "cos": []})
+        pdf = pdf.sort_values("_id", kind="mergesort", ignore_index=True)
+        ids = pdf["_id"].to_numpy()
+        vecs = list(pdf["_e"])
+        uniform = all(
+            v is not None and len(v) == len(vecs[0])
+            and not any(x is None for x in v)
+            for v in vecs
+        )
+        ii, jj = np.triu_indices(n, k=1)
+        keep = ids[ii] != ids[jj]  # a < b is STRICT in the expr path
+        ii, jj = ii[keep], jj[keep]
+        if uniform and len(vecs[0]) > 0:
+            e = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in vecs]
+            )
+            # sequential left folds over dimensions (vectorized across
+            # the pair matrix): one rounded multiply + one rounded add
+            # per step, the exact expr/DuckDB rounding sequence
+            dot = np.zeros((n, n), dtype=np.float64)
+            n2 = np.zeros(n, dtype=np.float64)
+            for d in range(e.shape[1]):
+                col = e[:, d]
+                dot += col[:, None] * col[None, :]
+                n2 += col * col
+            en = np.sqrt(n2)
+            denom = en[:, None] * en[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cosm = dot / denom
+            valid = (en[:, None] > 0) & (en[None, :] > 0)
+            cosm = np.where(valid, cosm, 0.0)
+            cos_vals = cosm[ii, jj]
+        else:
+            cos_vals = [
+                _fold_cos_pair(vecs[i], vecs[j]) for i, j in zip(ii, jj)
+            ]
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj], "cos": cos_vals})
+
+    return score
 
 
 def suggest_minhash_config(
