@@ -264,6 +264,17 @@ def estimate_total_windows(
     return int(n * (avg or 0.0))
 
 
+# Below this corpus window count "auto" skips the counting-bucket pass:
+# its extra jobs (bucket shuffle + survivor join + checkpoint) are pure
+# fixed cost on a corpus whose whole census fits in kilobytes. The
+# threshold is deliberately CONSERVATIVE (1M windows, far below the
+# locally measured wall-clock crossover of ~50M) because the prefilter's
+# real value at 10^12 docs is its shuffle-BYTE ratio, which local
+# wall-clock understates — only clearly-degenerate scales skip it. The
+# prefilter is lossless either way; only the plan changes.
+AUTO_PREFILTER_MIN_WINDOWS = 1_000_000
+
+
 def suggest_prefilter_buckets(
     n_windows: int, fp_rate: float = 0.02
 ) -> int:
@@ -275,6 +286,17 @@ def suggest_prefilter_buckets(
     if fp_rate <= 0:
         raise ValueError("fp_rate must be positive")
     return max(1024, int(n_windows / fp_rate))
+
+
+def _resolve_auto_buckets(df: DataFrame, text_col: str, w: int):
+    """`prefilter_buckets="auto"` resolution: measure the corpus window
+    count (two narrow jobs), then size the bucket table — or decide the
+    corpus is too small for the prefilter to win and return None (the
+    exact census). Lossless either way; see AUTO_PREFILTER_MIN_WINDOWS."""
+    t = estimate_total_windows(df, text_col, w)
+    if t < AUTO_PREFILTER_MIN_WINDOWS:
+        return None
+    return suggest_prefilter_buckets(t)
 
 
 def _dup_window_occurrences(
@@ -325,7 +347,11 @@ def _dup_window_occurrences(
     (its executed plan carries those shuffles' metrics) so byte
     accounting can sum both contributions."""
     if prefilter_buckets == "auto":
-        prefilter_buckets = suggest_prefilter_buckets(occ.count())
+        t = occ.count()
+        prefilter_buckets = (
+            suggest_prefilter_buckets(t)
+            if t >= AUTO_PREFILTER_MIN_WINDOWS else None
+        )
     if prefilter_buckets:
         b = F.pmod(F.xxhash64("_s"), F.lit(prefilter_buckets))
         hot = (
@@ -398,9 +424,7 @@ def duplicated_window_stats(
         # resolve here, where the doc frame is in hand: the sample
         # estimator costs two narrow jobs instead of the full shingle
         # pass _dup_window_occurrences would need
-        prefilter_buckets = suggest_prefilter_buckets(
-            estimate_total_windows(df, text_col, w)
-        )
+        prefilter_buckets = _resolve_auto_buckets(df, text_col, w)
     # ONE structure for both modes: dup occurrences (the exact mode's
     # count table is FILTERED to repeats before the join, so the join
     # build side is the dup-window set, not every distinct window — a
@@ -472,9 +496,7 @@ def excise_duplicated_windows(
         .select(id_col, (F.col("_p0") + 1).alias("_p"), "_s")
     )
     if prefilter_buckets == "auto":
-        prefilter_buckets = suggest_prefilter_buckets(
-            estimate_total_windows(df, text_col, w)
-        )
+        prefilter_buckets = _resolve_auto_buckets(df, text_col, w)
     dup_cover = (
         _dup_window_occurrences(
             win_pos,

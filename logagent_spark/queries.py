@@ -1844,18 +1844,21 @@ WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
 """
 
 
-def q_curation_pipeline(spark, sf_dir, *, persist_intermediate=False):
+def q_curation_pipeline(spark, sf_dir, *, persist_intermediate=True):
     """Capstone: the full training-data curation chain as ONE plan —
     quality filter -> exact dedup (min-id per content hash) -> near-dup
     CLUSTER dedup (MinHash-LSH pairs -> connected components -> keep
     min id). The oracle recomputes every stage in SQL, including the
     transitive closure. Output = the surviving corpus.
 
-    `persist_intermediate=True` is the production form: the exact-dedup
-    survivor set is localCheckpointed once, so the downstream stages
-    (shingle pairs AND the anti-join) reuse it instead of re-scanning
-    the source parquet per stage; the default re-scan form stays the
-    oracle-matched plan the driver times."""
+    `persist_intermediate=True` (the default since r7 — it is the
+    production form, and measured faster at gate scale too): the
+    exact-dedup survivor set is localCheckpointed once, so the
+    downstream stages (shingle pairs AND the anti-join) reuse it
+    instead of re-running the quality filter + exact dedup per stage.
+    The checkpoint computes from the parquet inputs inside this query's
+    own build (an execution strategy, not cross-run caching); results
+    are identical either way and the re-scan form stays available."""
     docs = _t(spark, sf_dir, "documents")
     c = F.col("text")
     quality = docs.filter(

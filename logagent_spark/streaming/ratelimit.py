@@ -274,6 +274,18 @@ def rate_limited_batch_chunked(
         n_rows = df.count()
         num_chunks = max(1, min(64, -(-n_rows // rows_per_chunk)))
 
+    if num_chunks == 1:
+        # one chunk of the same code path IS the unchunked operator
+        # (state starts empty, nothing carries): skip the empty state
+        # frame, the cogroup, the per-chunk localCheckpoint job and the
+        # persist — pure fixed cost at small volume (r7, measured
+        # interleaved; identity pinned in test_ratelimit)
+        return rate_limited_batch(
+            df, key_col, ts_col, size=size,
+            leak_interval_s=leak_interval_s, payload_cols=payload_cols,
+            order_cols=order_cols,
+        )
+
     qs = [i / num_chunks for i in range(1, num_chunks)]
     bounds = (
         df.select(_t_sec(F.col(ts_col)).alias("_t"))

@@ -200,3 +200,21 @@ def test_simulate_bucket_clamps_late_data():
     # t=50 leaks nothing (late), t=100 again leaks nothing (elapsed 0)
     assert adm.tolist() == [True, True, False]
     assert last == 100.0
+
+
+def test_auto_single_chunk_takes_fast_path(spark, events):
+    """r7: auto chunk sizing at small volume resolves to ONE chunk and
+    returns the plain batch operator — no cogroup/state machinery in
+    the plan — with output identical to a forced multi-chunk run."""
+    from logagent_spark.streaming.ratelimit import rate_limited_batch_chunked
+
+    kw = dict(size=3, leak_interval_s=2.0, payload_cols=["msg_id"],
+              order_cols=["ts", "msg_id"])
+    auto = rate_limited_batch_chunked(events, "host", "ts", **kw)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" not in plan, plan
+    got = {(r["host"], r["msg_id"]): r["admitted"] for r in auto.collect()}
+    multi = {(r["host"], r["msg_id"]): r["admitted"]
+             for r in rate_limited_batch_chunked(
+                 events, "host", "ts", num_chunks=3, **kw).collect()}
+    assert got == multi and len(got) == events.count()

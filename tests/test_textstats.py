@@ -285,6 +285,33 @@ def test_prefilter_auto_sizing_matches_exact(spark):
     assert auto == exact
 
 
+def test_prefilter_auto_small_corpus_skips_bucket_pass(spark, monkeypatch):
+    """r7: below AUTO_PREFILTER_MIN_WINDOWS, "auto" resolves to the
+    exact census — the bucket pass + survivor checkpoint are pure fixed
+    cost there (measured crossover, BENCH.md) — so no checkpoint-side
+    frame reaches metrics_sink; above the line the pass still runs.
+    Results are identical either way (the prefilter is lossless)."""
+    from logagent_spark.operators import textstats
+
+    df = _census_fixture(spark)
+    sink: list = []
+    small = textstats.duplicated_window_stats(
+        df, "doc_id", "text", w=5, prefilter_buckets="auto",
+        metrics_sink=sink,
+    ).collect()
+    assert sink == []  # no bucket pass at tiny scale
+    monkeypatch.setattr(textstats, "AUTO_PREFILTER_MIN_WINDOWS", 1)
+    big_sink: list = []
+    forced = textstats.duplicated_window_stats(
+        df, "doc_id", "text", w=5, prefilter_buckets="auto",
+        metrics_sink=big_sink,
+    ).collect()
+    assert len(big_sink) == 1  # bucket pass ran above the threshold
+    key = lambda rows: sorted((r["doc_id"], r["n_windows"],  # noqa: E731
+                               r["n_dup_windows"]) for r in rows)
+    assert key(small) == key(forced)
+
+
 def _boilerplate_docs(spark, n_docs, prose_tokens=40):
     """Unique pseudo-random prose per doc + one license block shared by
     ALL docs — the workload the counting-bucket prefilter exists for
@@ -337,7 +364,10 @@ def test_prefilter_shuffles_fewer_bytes_on_boilerplate(spark):
         return row, total, sink
 
     exact_row, exact_bytes, exact_sink = run()
-    pre_row, pre_bytes, pre_sink = run(prefilter_buckets="auto")
+    # explicit W: this test pins the BYTE ACCOUNTING of the bucket pass;
+    # since r7 "auto" resolves to the exact census below
+    # AUTO_PREFILTER_MIN_WINDOWS, so it would skip the pass here
+    pre_row, pre_bytes, pre_sink = run(prefilter_buckets=1 << 22)
     assert not exact_sink and len(pre_sink) == 1  # checkpoint captured
     # the captured frame's bucket pass really moved bytes — the old
     # accounting silently summed zero here
