@@ -201,6 +201,10 @@ def decode_png(data: bytes) -> np.ndarray:
         if zlib.crc32(ctype + payload) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
+            if len(payload) != 13:
+                # struct.error would escape the ValueError funnel and
+                # kill the task (ADVICE r6)
+                raise ValueError(f"bad IHDR length {len(payload)}")
             ihdr = struct.unpack(">IIBBBBB", payload)
         elif ctype == b"IDAT":
             idat += payload
@@ -216,7 +220,12 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("unsupported PNG compression/filter/interlace")
     nch = _PNG_CHANNELS[color]
     stride = w * nch
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # a producer can write garbage IDAT bytes with a VALID chunk
+        # CRC; all malformed-input paths funnel through ValueError
+        raise ValueError(f"PNG IDAT zlib error: {e}") from None
     if len(raw) != (stride + 1) * h:
         raise ValueError("PNG pixel data length mismatch")
     lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
@@ -306,6 +315,9 @@ def decode_wav(data: bytes) -> "tuple[int, np.ndarray]":
                 raise ValueError(f"unsupported WAV format tag {tag}")
             if bits != 16:
                 raise ValueError(f"unsupported WAV bit depth {bits}")
+            if ch == 0:
+                # would divide/reshape by zero below (ADVICE r6)
+                raise ValueError("WAV fmt declares 0 channels")
         elif ctype == b"data":
             pcm = payload
         pos += 8 + length + (length & 1)  # spec pad byte on odd chunks

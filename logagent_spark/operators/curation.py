@@ -287,7 +287,17 @@ def chunk_tokens(
     if not 0 <= overlap < max_len:
         raise ValueError("need 0 <= overlap < max_len")
     stride = max_len - overlap
-    base = df.withColumn("_toks", ts.tokens(F.col(text_col)))
+    # NULL text coalesces to an empty token array so the row yields ONE
+    # empty chunk exactly like n = 0 does (ADVICE r6: a NULL size made
+    # the explode eliminate the row, breaking 'row identity survives
+    # chunking')
+    base = df.withColumn(
+        "_toks",
+        F.coalesce(
+            ts.tokens(F.col(text_col)),
+            F.array().cast(T.ArrayType(T.StringType())),
+        ),
+    )
     n = F.size("_toks")
     n_chunks = F.lit(1) + F.ceil(
         F.greatest(F.lit(0), n - max_len) / F.lit(stride)

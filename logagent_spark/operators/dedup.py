@@ -339,16 +339,19 @@ def connected_components(
       the engine dependency-free. Pass small_graph_edges=0 to force
       this path.
     """
-    edges = (
-        pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
-        .union(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
-        .distinct()
-    )
-    edges = edges.localCheckpoint(eager=True)
-    if edges.count() <= 2 * small_graph_edges:  # x->y and y->x both present
+    # materialize the PAIR list once (it is usually the whole LSH
+    # pipeline's output plan): the path decision, the small-path
+    # collect, and the large path's edge doubling all read this
+    # checkpoint. The small path consumes raw pairs directly — the
+    # x/y union + distinct shuffle existed only for the label loop, and
+    # union-find is insensitive to duplicates (r7; a duplicate-heavy
+    # pair list can only overcount the threshold, which errs toward the
+    # distributed path, never wrong results).
+    pairs_ck = pairs.select("a", "b").localCheckpoint(eager=True)
+    if pairs_ck.count() <= small_graph_edges:
         spark = pairs.sparkSession
         comp = _union_find_components(
-            [(r["x"], r["y"]) for r in edges.collect()]
+            [(r["a"], r["b"]) for r in pairs_ck.collect()]
         )
         id_t = pairs.schema["a"].dataType
         return spark.createDataFrame(
@@ -356,6 +359,12 @@ def connected_components(
             T.StructType([T.StructField("id", id_t),
                           T.StructField("component", id_t)]),
         )
+    edges = (
+        pairs_ck.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .union(pairs_ck.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=True)
     labels = edges.select(F.col("x").alias("id")).distinct().withColumn(
         "component", F.col("id")
     )

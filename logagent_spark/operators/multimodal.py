@@ -22,6 +22,8 @@ Python. Decode/feature steps batch through mapInPandas with
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -107,7 +109,7 @@ def decode_image_batch(payloads: pd.Series, fake: bool) -> pd.DataFrame:
                     img = codecs.decode_bmp(b)
                 else:
                     continue
-            except ValueError:
+            except (ValueError, zlib.error, struct.error):
                 continue
             present[i] = True
             height[i], width[i] = img.shape[:2]
@@ -213,7 +215,7 @@ def decode_audio_batch(payloads: pd.Series) -> pd.DataFrame:
             continue
         try:
             r, samples = codecs.decode_wav(bytes(p))
-        except ValueError:
+        except (ValueError, zlib.error, struct.error):
             continue
         present[i] = True
         nsamp[i], nchan[i] = samples.shape

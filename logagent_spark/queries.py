@@ -2739,7 +2739,12 @@ def q_corpus_decontaminate(spark, sf_dir):
         F.concat_ws(
             " ", F.slice(ts.tokens(F.col("text")), 4, 10)
         ).alias("text")
-    )
+    ).filter(F.size(ts.tokens(F.col("text"))) >= 5)
+    # the >= 5 filter mirrors the oracle's bsh CTE, whose
+    # generate_series emits NO shingle for a short slice, while
+    # ts.shingles' <k fallback would emit the whole-slice md5 — a
+    # data-dependent divergence if a benchmark doc ever had < 8 tokens
+    # (ADVICE r6; identical output on corpora without such docs)
     out = cu.decontaminate(docs, bench, "doc_id", "text", k=5)
     return out.select(
         "doc_id",

@@ -189,3 +189,37 @@ def test_resize_bilinear_midpoint_average():
     got = C.resize_bilinear(a, 4, 4).astype(int)
     assert got[0, 0] == 0 and got[3, 3] == 200
     assert 40 <= got[1, 1] <= 60  # ~ (0+100+100+200)*w ≈ 50 at center
+
+
+def _png_with(payloads):
+    return C._PNG_SIG + b"".join(
+        C._png_chunk(t, p) for t, p in payloads
+    )
+
+
+def test_malformed_inputs_funnel_through_valueerror():
+    """ADVICE r6: every malformed-input path must raise ValueError —
+    zlib.error (garbage IDAT under a VALID chunk CRC), struct.error
+    (short IHDR payload) and ZeroDivisionError (0-channel WAV fmt)
+    would escape the batch decoders' except clause and kill the task."""
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    garbage_idat = _png_with([
+        (b"IHDR", ihdr),
+        (b"IDAT", b"definitely not a zlib stream"),  # CRC is valid
+        (b"IEND", b""),
+    ])
+    with pytest.raises(ValueError):
+        C.decode_png(garbage_idat)
+    short_ihdr = _png_with([
+        (b"IHDR", ihdr[:12]),  # 12-byte IHDR, CRC valid
+        (b"IEND", b""),
+    ])
+    with pytest.raises(ValueError):
+        C.decode_png(short_ihdr)
+    # 0-channel WAV: fmt says PCM/16-bit but 0 channels
+    fmt = struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    with pytest.raises(ValueError):
+        C.decode_wav(wav)

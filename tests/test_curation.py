@@ -318,3 +318,26 @@ def test_chunk_then_pack_bounds_every_pack(spark):
         F.sum("n_tokens").alias("fill")).collect()
     assert fills and all(r["fill"] <= 24 for r in fills)
     assert packed.count() == pieces.count()
+
+
+def test_chunk_tokens_null_text_yields_one_empty_chunk(spark):
+    """ADVICE r6: a NULL-text row must survive chunking as one empty
+    chunk (like n = 0 does) — the NULL token-array size previously made
+    the explode eliminate the row entirely."""
+    from logagent_spark.operators.curation import chunk_tokens
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_tokens(df, "doc_id", "text", max_len=2).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["doc_id"], []).append(r)
+    assert sorted(by_id) == [1, 2, 3]
+    assert len(by_id[2]) == 1
+    r = by_id[2][0]
+    assert (r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"]) == (0, "", 0)
+    assert [x["chunk_text"] for x in sorted(by_id[1],
+                                            key=lambda x: x["chunk_idx"])] \
+        == ["alpha beta", "gamma"]

@@ -160,3 +160,39 @@ def test_drop_payload_excludes_binary_from_output(spark):
     assert "payload" not in slim_a.columns
     assert {r["id"]: r["sum_sq"] for r in slim_a.collect()} == \
            {r["id"]: r["sum_sq"] for r in mm.extract_audio_features(df).collect()}
+
+
+def test_malformed_payloads_yield_null_rows_not_task_kill(spark):
+    """ADVICE r6: undecodable bytes must yield NULL feature rows through
+    the REAL decode path — garbage zlib under a valid CRC, a short IHDR
+    and a 0-channel WAV previously raised past the ValueError catch."""
+    import struct
+    import zlib as _z  # noqa: F401
+
+    from logagent_spark.operators import codecs as C
+    from logagent_spark.operators.multimodal import (
+        extract_audio_features,
+        extract_image_features,
+    )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    png_garbage = (C._PNG_SIG + C._png_chunk(b"IHDR", ihdr)
+                   + C._png_chunk(b"IDAT", b"not zlib")
+                   + C._png_chunk(b"IEND", b""))
+    png_short_ihdr = (C._PNG_SIG + C._png_chunk(b"IHDR", ihdr[:12])
+                      + C._png_chunk(b"IEND", b""))
+    fmt = struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+    wav0 = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    img = spark.createDataFrame(
+        [(1, bytearray(png_garbage)), (2, bytearray(png_short_ihdr))],
+        "doc_id long, payload binary",
+    )
+    rows = extract_image_features(img, fake=False).collect()
+    assert len(rows) == 2 and all(r["width"] is None for r in rows)
+    aud = spark.createDataFrame(
+        [(3, bytearray(wav0))], "doc_id long, payload binary"
+    )
+    arows = extract_audio_features(aud).collect()
+    assert len(arows) == 1 and arows[0]["sample_rate"] is None
