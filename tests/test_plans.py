@@ -284,16 +284,18 @@ def test_curation_persist_option_scans_source_once(spark):
     from logagent_spark.queries import q_curation_pipeline
 
     sf = "/root/testdata/sf0.001"
-    default = q_curation_pipeline(spark, sf)
-    persisted = q_curation_pipeline(spark, sf, persist_intermediate=True)
+    # r7: the checkpointed form IS the default; the re-scan form stays
+    # available and must stay result-identical
+    rescan = q_curation_pipeline(spark, sf, persist_intermediate=False)
+    persisted = q_curation_pipeline(spark, sf)
 
-    n_scans_default = _plan(default).count("Scan parquet")
+    n_scans_rescan = _plan(rescan).count("Scan parquet")
     n_scans_persisted = _plan(persisted).count("Scan parquet")
-    assert n_scans_default >= 2          # the documented re-scan form
+    assert n_scans_rescan >= 2           # the documented re-scan form
     assert n_scans_persisted == 0        # every stage reuses the checkpoint
     assert "ExistingRDD" in _plan(persisted)
 
-    a = sorted((r["doc_id"], r["lang"]) for r in default.collect())
+    a = sorted((r["doc_id"], r["lang"]) for r in rescan.collect())
     b = sorted((r["doc_id"], r["lang"]) for r in persisted.collect())
     assert a == b and len(a) > 0
 
