@@ -365,7 +365,13 @@ def decontaminate(
 
     Plan (gated in test_curation): benchmark set broadcast, corpus
     shingles filtered by BroadcastHashJoin in the scan stage, one
-    aggregation exchange carrying only hit (doc_id, count) rows.
+    aggregation exchange carrying only hit (doc_id, count) rows. The
+    hits->corpus re-join relies on AQE's runtime size check as its
+    broadcast guard (gated): small hit sets broadcast from their
+    MEASURED size; a heavily-contaminated corpus (hits ~ corpus) falls
+    back to a shuffle join on the id — the contamination-rate-bounded
+    step, by design (an unconditional broadcast would OOM exactly
+    there, and pre-counting hits would run the shingle join twice).
     """
     bench = benchmark_shingle_set(benchmark, text_col, k)
     corpus_sh = _shingle_hash_rows(corpus, [F.col(id_col)], text_col, k)

@@ -341,3 +341,23 @@ def test_chunk_tokens_null_text_yields_one_empty_chunk(spark):
     assert [x["chunk_text"] for x in sorted(by_id[1],
                                             key=lambda x: x["chunk_idx"])] \
         == ["alpha beta", "gamma"]
+
+
+def test_decontaminate_rejoin_broadcasts_small_hits(spark):
+    """VERDICT r6 #5: the hits->corpus re-join must be a broadcast when
+    the contaminated set is small (the common case). The guard is AQE's
+    runtime size check — it broadcasts the hits side from its MEASURED
+    size, and falls back to a shuffle join when a heavily-contaminated
+    corpus makes hits ~ corpus; an unconditional F.broadcast would OOM
+    exactly there, and a pre-count of hits would execute the expensive
+    shingle join twice. Gate: after execution, BOTH joins (benchmark
+    shingle set into the scan, hits back onto the corpus) are
+    BroadcastHashJoin and no sort-merge/shuffled-hash join appears."""
+    from logagent_spark.queries import q_corpus_decontaminate
+
+    df = q_corpus_decontaminate(spark, "/root/testdata/sf0.001")
+    df.count()  # let AQE finalize the executed plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
