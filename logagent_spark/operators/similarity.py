@@ -162,12 +162,70 @@ def centroid_assignment(
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
+def assign_buckets_pandas(
+    df: DataFrame, emb_col: str, centroids: np.ndarray, out_col: str
+) -> DataFrame:
+    """centroid_assignment as one Arrow/numpy pass (mapInPandas): the
+    C dot products accumulate as a sequential left fold over DIMENSIONS,
+    vectorized across rows and centroids — each fold step is one rounded
+    multiply + one rounded add per (row, centroid), the exact rounding
+    sequence of the expression fold, and np.argmax is first-occurrence
+    like array_position(dots, array_max(dots)). Invalid vectors (NULL,
+    ragged length, NULL element) get a NULL bucket, matching the
+    NULL-propagating expr dots. The expr form runs INTERPRETED (HOFs
+    never codegen): C folds per row made assignment the dominant cost of
+    the IVF index build and the pandas join's corpus prep at 100k x 64
+    (r7, measured interleaved — see OPTIMIZATION_r07.md)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    k, dim = cents.shape
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.IntegerType())]
+    )
+
+    def go(batches):
+        for pdf in batches:
+            vecs = [
+                None if v is None
+                else np.asarray(v, dtype=np.float64)
+                for v in pdf[emb_col]
+            ]
+            out = np.full(len(vecs), None, dtype=object)
+            # NaN marks a NULL element after the Arrow transfer (nulls
+            # arrive as NaN): such vectors get a NULL bucket like the
+            # expr's NULL-propagating fold. A literal-NaN embedding is
+            # indistinguishable here and also yields NULL — documented
+            # divergence from the expr path's NaN ordering, which no
+            # real embedding corpus hits.
+            valid = [
+                i for i, v in enumerate(vecs)
+                if v is not None and len(v) == dim
+                and not np.isnan(v).any()
+            ]
+            if valid:
+                e = np.asarray([vecs[i] for i in valid])
+                dots = np.zeros((len(valid), k), dtype=np.float64)
+                for d in range(dim):
+                    dots += e[:, d][:, None] * cents[:, d][None, :]
+                idx = np.argmax(dots, axis=1)
+                for j, i in enumerate(valid):
+                    out[i] = int(idx[j])
+            res = pdf.copy()
+            res[out_col] = pd.array(out, dtype="Int32")
+            yield res
+
+    return df.mapInPandas(go, schema)
+
+
 def kmeans_refine(
     df: DataFrame,
     emb_col: str,
     centroids: np.ndarray,
     *,
     iters: int = 3,
+    strategy: str = "pandas",
 ) -> np.ndarray:
     """Distributed Lloyd refinement of the IVF centroids.
 
@@ -184,10 +242,15 @@ def kmeans_refine(
     cents = np.asarray(centroids, dtype=float)
     k, dim = cents.shape
     for _ in range(iters):
-        assigned = df.select(
-            centroid_assignment(F.col(emb_col), cents).alias("_b"),
-            F.col(emb_col).alias("_e"),
-        )
+        if strategy == "pandas":
+            assigned = assign_buckets_pandas(
+                df.select(F.col(emb_col).alias("_e")), "_e", cents, "_b"
+            )
+        else:
+            assigned = df.select(
+                centroid_assignment(F.col(emb_col), cents).alias("_b"),
+                F.col(emb_col).alias("_e"),
+            )
         means = assigned.groupBy("_b").agg(
             *[F.avg(F.col("_e")[i]).alias(f"m{i}") for i in range(dim)]
         ).collect()
@@ -349,11 +412,20 @@ def knn_join_ivf(
             probe_buckets(F.col(query_emb_col), centroids, nprobe)
         ).alias("_bkt"),
     )
-    indexed = corpus.select(
-        F.col(id_col),
-        F.col(emb_col).alias("_ce"),
-        centroid_assignment(F.col(emb_col), centroids).alias("_bkt"),
-    )
+    if strategy == "pandas":
+        # the corpus-side bucket assignment rides the same Arrow boundary
+        # the scorer already pays; the interpreted C-fold expr was the
+        # prep cost of the cogroup input (r7)
+        indexed = assign_buckets_pandas(
+            corpus.select(F.col(id_col), F.col(emb_col).alias("_ce")),
+            "_ce", centroids, "_bkt",
+        )
+    else:
+        indexed = corpus.select(
+            F.col(id_col),
+            F.col(emb_col).alias("_ce"),
+            centroid_assignment(F.col(emb_col), centroids).alias("_bkt"),
+        )
 
     if strategy == "pandas":
         scored = _score_buckets_pandas(
@@ -422,16 +494,20 @@ def _score_buckets_pandas(
         ppm = ppm.astype(np.int64)
         ids = cpdf[id_col].to_numpy()
         top = min(k, len(ids))
-        frames = []
-        for j in range(qm.shape[1]):
-            d = pd.DataFrame({id_col: ids, "cos_ppm": ppm[:, j]})
-            d = d.sort_values(
-                ["cos_ppm", id_col], ascending=[False, True],
-                kind="stable",
-            ).head(top)
-            d.insert(0, query_id_col, qpdf[query_id_col].iloc[j])
-            frames.append(d)
-        return pd.concat(frames, ignore_index=True)
+        n_q = qm.shape[1]
+        # per-query top-k via np.lexsort under the SAME (ppm DESC, id
+        # ASC) order as the global window (the knn_join batch pattern) —
+        # the r6 pandas DataFrame + sort_values per (query, bucket) was
+        # ~0.4 ms per query and dominated the large-Q join (r7)
+        sel = np.empty((n_q, top), dtype=np.int64)
+        for j in range(n_q):
+            sel[j] = np.lexsort((ids, -ppm[:, j]))[:top]
+        flat = sel.ravel()
+        return pd.DataFrame({
+            query_id_col: np.repeat(qpdf[query_id_col].to_numpy(), top),
+            id_col: ids[flat],
+            "cos_ppm": ppm[flat, np.repeat(np.arange(n_q), top)],
+        })
 
     return (
         probed.groupBy("_bkt")

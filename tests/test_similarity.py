@@ -361,3 +361,35 @@ def test_suggest_ivf_config_hits_planted_floor(spark):
         by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
     recall = sum(1 for q in range(nq) if (n + q) in by_q.get(q, ())) / nq
     assert recall >= 0.9, (cfg, recall)
+
+
+def test_assign_buckets_pandas_matches_expr(spark):
+    """r7: the Arrow/numpy bucket assignment must match the Column-expr
+    argmax exactly — same sequential-fold dots, first-occurrence ties,
+    NULL bucket for NULL/ragged/NULL-element vectors."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from logagent_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(11)
+    cents = sim.seeded_centroids(16, 8, seed=3)
+    rows = [(i, rng.randn(16).tolist()) for i in range(500)]
+    rows += [(1000, None), (1001, [1.0] * 12),
+             (1002, [1.0] * 15 + [None]), (1003, [0.0] * 16)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["b"]
+        for r in sim.assign_buckets_pandas(
+            df, "embedding", cents, "b"
+        ).collect()
+    }
+    want = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id",
+            sim.centroid_assignment(F.col("embedding"), cents).alias("b"),
+        ).collect()
+    }
+    assert got == want
+    assert want[1000] is None and want[1001] is None and want[1002] is None
