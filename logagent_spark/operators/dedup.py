@@ -596,6 +596,76 @@ def plane_chunks(n_planes: int, n_chunks: int = 3) -> list[list[int]]:
     return out
 
 
+def _hyperplane_band_keys_pandas(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    planes: np.ndarray,
+    chunks: list[list[int]],
+) -> DataFrame:
+    """Banded sign-bucket keys as ONE Arrow/numpy pass (mapInPandas),
+    replacing n_planes interpreted zip_with/aggregate folds per row
+    (HOF exprs never codegen — the per-ROW twin of CLAUDE.md's per-PAIR
+    trap). Each plane's dot accumulates as a sequential left fold over
+    DIMENSIONS, vectorized across rows x planes — one rounded multiply
+    + one rounded add per step, the exact rounding sequence of the
+    expression fold, so band keys are bit-identical for valid vectors.
+    Invalid vectors (NULL, ragged length, NULL element) take key 0 in
+    every band, matching the expr's NULL-propagating fold under
+    `when(dot >= 0, 1).otherwise(0)`; a NaN dot reached from inf
+    arithmetic takes bit 1 (Spark orders NaN above every number). A
+    literal-NaN ELEMENT is indistinguishable from a NULL element after
+    Arrow and yields key 0 where the expr would emit all-ones bits —
+    the documented assign_buckets_pandas divergence, unreachable on a
+    real embedding corpus. The band explode rides the same pass: one
+    (id, emb, band, key) row per band comes straight out of Arrow."""
+    planes = np.asarray(planes, dtype=np.float64)
+    n_planes, dim = planes.shape
+    n_chunks = len(chunks)
+    schema = T.StructType([
+        T.StructField("_id", df.schema[id_col].dataType),
+        T.StructField("_e", df.schema[emb_col].dataType),
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("key", T.IntegerType(), False),
+    ])
+
+    def go(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            embs = list(pdf[emb_col])
+            vecs = [
+                None if v is None else np.asarray(v, dtype=np.float64)
+                for v in embs
+            ]
+            valid = [
+                i for i, v in enumerate(vecs)
+                if v is not None and len(v) == dim
+                and not np.isnan(v).any()
+            ]
+            keys = np.zeros((n, n_chunks), dtype=np.int32)
+            if valid:
+                e = np.asarray([vecs[i] for i in valid])
+                dots = np.zeros((len(valid), n_planes), dtype=np.float64)
+                for d in range(dim):
+                    dots += e[:, d][:, None] * planes[:, d][None, :]
+                bits = ((dots >= 0) | np.isnan(dots)).astype(np.int32)
+                for c, idxs in enumerate(chunks):
+                    k = np.zeros(len(valid), dtype=np.int32)
+                    for i in idxs:
+                        k = k * 2 + bits[:, i]
+                    keys[valid, c] = k
+            yield pd.DataFrame({
+                "_id": np.repeat(pdf[id_col].to_numpy(), n_chunks),
+                "_e": [v for v in embs for _ in range(n_chunks)],
+                "band": np.tile(np.arange(n_chunks, dtype=np.int32), n),
+                "key": keys.reshape(-1),
+            })
+
+    return df.select(id_col, emb_col).mapInPandas(go, schema)
+
+
 def cosine(a: Column, b: Column) -> Column:
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
                       lambda acc, x: acc + x)
@@ -634,7 +704,10 @@ def embedding_candidate_pairs(
       pass per (band, key) group (`_seq` folds over dimensions,
       vectorized across the pair matrix), and the oversized-bucket cap
       is a per-group length check — no per-pair join ever materializes
-      vectors. r6's expr path joined the 66.7M-candidate pair list back
+      vectors. The band keys themselves come from the same Arrow
+      family (`_hyperplane_band_keys_pandas`): n_planes interpreted
+      zip_with/aggregate folds per row became one numpy pass with the
+      identical fold rounding sequence (r7). r6's expr path joined the 66.7M-candidate pair list back
       to the embeddings (TWO shuffles of vectors keyed by pair id) and
       scored each pair with an INTERPRETED HOF fold (~10 us/pair; see
       CLAUDE.md) — that join + fold dominated the 100k-vector bench.
@@ -646,22 +719,12 @@ def embedding_candidate_pairs(
     Degenerate buckets (near-constant embedding clusters) are capped in
     both strategies — they are exact-dup clusters in disguise.
     """
-    bits = hyperplane_bits(F.col(emb_col), seeded_planes(n_planes, dim, seed))
-    chunk_keys = []
-    for c, idxs in enumerate(plane_chunks(n_planes, n_chunks)):
-        key = F.lit(0)
-        for i in idxs:
-            key = key * 2 + bits[i]
-        chunk_keys.append(
-            F.struct(F.lit(c).alias("band"), key.alias("key"))
-        )
-
     if strategy == "pandas":
-        with_keys = df.select(
-            F.col(id_col).alias("_id"),
-            F.col(emb_col).alias("_e"),
-            F.explode(F.array(*chunk_keys)).alias("_bk"),
-        ).select("_id", "_e", "_bk.band", "_bk.key")
+        with_keys = _hyperplane_band_keys_pandas(
+            df, id_col, emb_col,
+            seeded_planes(n_planes, dim, seed),
+            plane_chunks(n_planes, n_chunks),
+        )
         scored = with_keys.groupBy("band", "key").applyInPandas(
             _score_bucket_pairs_fn(max_bucket_size),
             T.StructType([
@@ -673,6 +736,16 @@ def embedding_candidate_pairs(
         return scored.distinct()
     if strategy != "expr":
         raise ValueError(f"unknown strategy `{strategy}`")
+
+    bits = hyperplane_bits(F.col(emb_col), seeded_planes(n_planes, dim, seed))
+    chunk_keys = []
+    for c, idxs in enumerate(plane_chunks(n_planes, n_chunks)):
+        key = F.lit(0)
+        for i in idxs:
+            key = key * 2 + bits[i]
+        chunk_keys.append(
+            F.struct(F.lit(c).alias("band"), key.alias("key"))
+        )
 
     skinny = df.select(
         F.col(id_col).alias("_id"),

@@ -301,6 +301,69 @@ def test_embedding_near_duplicates_auto_config(spark):
     assert (4, 8) in {(r["a"], r["b"]) for r in got}
 
 
+def test_hyperplane_band_keys_pandas_bit_identical(spark):
+    """r7: the Arrow band-key pass must reproduce the expr fold's band
+    keys bit-exactly — sequential fold over dimensions, `dot >= 0` with
+    Spark's NaN-is-largest ordering — including edge vectors (NULL /
+    ragged / NULL-element -> key 0 in every band; inf arithmetic whose
+    dot goes NaN -> bit 1), and the two candidate strategies must emit
+    the same pair set. (cos VALUES on inf vectors differ NULL-vs-NaN in
+    the scorer's Arrow return — pre-existing, unreachable on real
+    embeddings, out of scope here.)"""
+    dim, n_planes, n_chunks = 16, 8, 3
+    rng = np.random.RandomState(7)
+    rows = [(str(i), rng.randn(dim).tolist()) for i in range(120)]
+    base = rng.randn(dim)
+    rows += [(f"c{i}", (base + 0.01 * rng.randn(dim)).tolist())
+             for i in range(12)]
+    rows += [
+        ("e_null", None),
+        ("e_ragged", [1.0] * (dim - 1)),
+        ("e_nullel", [None] + [1.0] * (dim - 1)),
+        ("e_zero", [0.0] * dim),
+        ("e_inf", [float("inf")] + [0.0] * (dim - 1)),
+        ("e_infnan", [float("inf"), float("-inf")] + [1.0] * (dim - 2)),
+    ]
+    df = spark.createDataFrame(rows, "vid string, emb array<double>")
+
+    planes = dedup.seeded_planes(n_planes, dim, 42)
+    chunks = dedup.plane_chunks(n_planes, n_chunks)
+    got = {
+        (r["_id"], r["band"]): r["key"]
+        for r in dedup._hyperplane_band_keys_pandas(
+            df, "vid", "emb", planes, chunks
+        ).collect()
+    }
+    bits = dedup.hyperplane_bits(F.col("emb"), planes)
+    sel = [F.col("vid")]
+    for c, idxs in enumerate(chunks):
+        key = F.lit(0)
+        for i in idxs:
+            key = key * 2 + bits[i]
+        sel.append(key.alias(f"k{c}"))
+    exp = {
+        (r["vid"], c): r[f"k{c}"]
+        for r in df.select(*sel).collect()
+        for c in range(n_chunks)
+    }
+    assert got == exp
+    # every edge vector really takes key 0 in every band
+    for vid in ("e_null", "e_ragged", "e_nullel"):
+        assert all(got[(vid, c)] == 0 for c in range(n_chunks))
+
+    pair_sets = [
+        {
+            (r["a"], r["b"])
+            for r in dedup.embedding_candidate_pairs(
+                df, "vid", "emb", dim=dim, n_planes=n_planes,
+                n_chunks=n_chunks, strategy=s,
+            ).collect()
+        }
+        for s in ("pandas", "expr")
+    ]
+    assert pair_sets[0] == pair_sets[1]
+
+
 def test_connected_components_raises_on_nonconvergence(spark):
     """Exhausting max_iters without a fixed point must raise, never
     silently return split components."""
